@@ -1,0 +1,106 @@
+"""Configuration: reference-compatible INI parsing + typed config.
+
+The reference parses a flat INI subset in its constructor
+(OdometryPipeline.cpp:39-64): lines are trimmed, ``#``/``;``/``[section]``
+lines skipped, ``key = value`` split on the first ``=``, all sections flattened
+into one dict. :func:`parse_ini` reproduces that exactly, so reference config
+files (README.md:21-45) are drop-in usable.
+
+:class:`VOConfig` carries the reference's keys (same names, same required-ness:
+``map_scale`` is required by the reference even though its README omits it)
+plus the TPU-native knobs that replace hard-coded module constants
+(LK window 32 / 4 levels, include/OpenCVLucasKanadeFM.h:9-10; grid 255x255,
+include/OdometryPipeline.h:31; RANSAC budgets, OpenCVEPnPSolver.cpp:35-36 and
+OpenCVFivePointTri.cpp:24).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+
+class OdometryPipelineException(Exception):
+    """Config/IO failure — mirrors the reference exception of the same name
+    (include/OdometryPipeline.h, caught in main.cpp:25-29)."""
+
+
+def parse_ini(path: str | Path) -> dict[str, str]:
+    """Parse the reference's INI subset into a flat dict
+    (OdometryPipeline.cpp:39-49 semantics)."""
+    p = Path(path)
+    if not p.is_file():
+        raise OdometryPipelineException("Unable to open configuration file")
+    cfg: dict[str, str] = {}
+    for raw in p.read_text().splitlines():
+        line = raw.strip()
+        if not line or line[0] in "#;[":
+            continue
+        div = line.find("=")
+        name = line[:div].strip()
+        value = line[div + 1 :].strip()
+        cfg[name] = value
+    return cfg
+
+
+@dataclasses.dataclass
+class VOConfig:
+    # --- reference keys (OdometryPipeline.cpp:50-64) ---
+    fancy_video: int = 0
+    verbose: int = 0
+    min_tracked_features: int = 400
+    tracked_features_tol: int = 150
+    init_frames: int = 5
+    frames: int = 600  # "stop" in the reference
+    bundle_size: int = 5
+    max_iterations: int = 5  # BA iterations ("ceres.max_iterations")
+    video_path: str = ""
+    map_scale: float = 1.0
+    error_path: str = ""
+    image_dir: str = ""
+    camera: int = 0
+    camera_calibration: str = ""
+    poses: str = ""
+
+    # --- TPU-native knobs (replace reference hard-coded constants) ---
+    feature_capacity: int = 512    # N_max feature slots per frame
+    map_capacity: int = 32768      # M_max landmark slots (ring buffer)
+    grid_rows: int = 255           # getGridROI tile size (OdometryPipeline.h:31)
+    grid_cols: int = 255
+    lk_window: int = 32            # LK window (OpenCVLucasKanadeFM.h:9)
+    lk_levels: int = 4             # LK pyramid levels (OpenCVLucasKanadeFM.h:10)
+    lk_iters: int = 10             # LK iterations per level
+    min_distance: int = 5          # corner min-distance (OpenCVGoodFeatureExtractor.h)
+    quality_level: float = 0.01    # corner quality (OpenCVGoodFeatureExtractor.h)
+    ransac_e_hypos: int = 256      # essential-matrix RANSAC hypotheses
+    ransac_e_thresh: float = 1.0   # E-matrix inlier threshold, px (FivePointTri :24)
+    ransac_pnp_hypos: int = 128    # PnP RANSAC hypotheses (ref: 100 iters)
+    ransac_pnp_thresh: float = 8.0  # PnP reprojection threshold, px (EPnPSolver :36)
+    ba_window_obs: int = 4096      # max observations per BA window
+    extractor: str = "good"        # good | shi_tomasi | fast
+    matcher: str = "lk"            # lk | knn
+    dtype: str = "float32"
+    seed: int = 0
+
+    @classmethod
+    def from_ini(cls, path: str | Path) -> "VOConfig":
+        cfg = parse_ini(path)
+        kwargs = {}
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        for key, value in cfg.items():
+            if key not in fields:
+                continue  # unknown keys are ignored, like the reference's map
+            typ = fields[key].type
+            if typ == "int":
+                kwargs[key] = int(value)
+            elif typ == "float":
+                kwargs[key] = float(value)
+            else:
+                kwargs[key] = value
+        # Required keys: the reference std::stoi/stod on missing keys throws.
+        for required in ("map_scale",):
+            if required not in cfg and required not in kwargs:
+                raise OdometryPipelineException(
+                    f"Missing required config key: {required}"
+                )
+        return cls(**kwargs)
