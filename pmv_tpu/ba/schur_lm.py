@@ -1,0 +1,204 @@
+"""Sliding-window bundle adjustment: Levenberg-Marquardt with Schur
+complement reduction of the landmark blocks — batched JAX, TPU-first.
+
+TPU-native replacement for CeresBundleAdjustment.cpp:5-89 (SPARSE_SCHUR,
+Huber(1.0), ``max_iterations`` from config). Parameterization is identical to
+the reference: each window pose is the 6-vector ``[angle_axis(R^T), -t]``
+(CeresBundleAdjustment.cpp:26-34), each landmark a world-frame 3-vector, and
+the residual is ``observed - ba_project(tr, X)``
+(include/ProjectionResidual.h:38-58).
+
+Structure exploited exactly as SPARSE_SCHUR does, but as dense batched
+tensor algebra (MXU-shaped): landmark Hessian blocks V are (L, 3, 3) and
+inverted in closed form; pose-landmark coupling W is a dense (L, P, 6, 3)
+tensor (P = window size <= ~10); the reduced camera system S is a tiny
+(6P, 6P) dense solve. The landmark dimension L is the natural sharding axis
+for the distributed variant (pmv_tpu.parallel.dist_ba).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pmv_tpu.core import geometry as geo
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+class BAProblem(NamedTuple):
+    """Static-shape window BA problem.
+
+    tr:        (P, 6)  pose blocks [angle_axis(R^T), -t]
+    lm:        (L, 3)  landmark positions (world frame)
+    obs_uv:    (O, 2)  observed pixels
+    obs_pose:  (O,)    int32 window-pose index per observation
+    obs_lm:    (O,)    int32 landmark index per observation
+    obs_mask:  (O,)    bool  observation is real
+    pose_free: (P,)    bool  pose participates in optimization (the reference
+                       skips global frame 0, CeresBundleAdjustment.cpp:22-23)
+    K:         (3, 3)  intrinsics
+    """
+
+    tr: jax.Array
+    lm: jax.Array
+    obs_uv: jax.Array
+    obs_pose: jax.Array
+    obs_lm: jax.Array
+    obs_mask: jax.Array
+    pose_free: jax.Array
+    K: jax.Array
+
+
+def _residuals(tr, lm, p: BAProblem):
+    """Per-observation residual r = observed - predicted, (O, 2)."""
+    tr_o = tr[p.obs_pose]
+    lm_o = lm[p.obs_lm]
+    pred = geo.ba_project(tr_o, lm_o, p.K)
+    return p.obs_uv - pred
+
+
+def _huber_cost(r2: jax.Array, delta: float) -> jax.Array:
+    """Huber rho(s) on squared norms s (Ceres HuberLoss semantics)."""
+    d2 = delta * delta
+    return jnp.where(r2 <= d2, r2, 2.0 * delta * jnp.sqrt(jnp.maximum(r2, 1e-18)) - d2)
+
+
+def robust_cost(tr, lm, p: BAProblem, delta: float = 1.0) -> jax.Array:
+    r = _residuals(tr, lm, p)
+    r2 = jnp.sum(r * r, axis=-1)
+    return jnp.sum(jnp.where(p.obs_mask, _huber_cost(r2, delta), 0.0))
+
+
+def _inv3x3(V: jax.Array) -> jax.Array:
+    """Batched closed-form 3x3 inverse via adjugate; (L, 3, 3) -> (L, 3, 3).
+    Singular blocks (landmarks with too few observations) return ~0 so their
+    update vanishes instead of exploding."""
+    a, b, c = V[..., 0, 0], V[..., 0, 1], V[..., 0, 2]
+    d, e, f = V[..., 1, 0], V[..., 1, 1], V[..., 1, 2]
+    g, h, i = V[..., 2, 0], V[..., 2, 1], V[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    ok = jnp.abs(det) > 1e-12
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), b * f - c * e], -1),
+            jnp.stack([B, a * i - c * g, -(a * f - c * d)], -1),
+            jnp.stack([C, -(a * h - b * g), a * e - b * d], -1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
+def _lm_step(tr, lm, p: BAProblem, lam, delta: float):
+    """One damped LM step. Returns (tr_new, lm_new)."""
+    P = tr.shape[0]
+    L = lm.shape[0]
+
+    def res_one(tr6, X3, uv):
+        return uv - geo.ba_project(tr6, X3, p.K)
+
+    tr_o = tr[p.obs_pose]
+    lm_o = lm[p.obs_lm]
+    r = jax.vmap(res_one)(tr_o, lm_o, p.obs_uv)  # (O, 2)
+    Jp = jax.vmap(jax.jacfwd(res_one, argnums=0))(tr_o, lm_o, p.obs_uv)  # (O, 2, 6)
+    Jl = jax.vmap(jax.jacfwd(res_one, argnums=1))(tr_o, lm_o, p.obs_uv)  # (O, 2, 3)
+
+    r2 = jnp.sum(r * r, axis=-1)
+    w = geo.huber_weight(r2, delta) * p.obs_mask  # IRLS weights (O,)
+    # A fixed pose contributes no pose Jacobian, but its observations still
+    # constrain the landmarks (anchoring the window better than the
+    # reference's drop-frame-0 scheme; callers can reproduce that scheme by
+    # clearing obs_mask instead).
+    free_obs = p.pose_free[p.obs_pose]
+    Jp = Jp * free_obs[:, None, None]
+
+    wJp = Jp * w[:, None, None]
+    # Block assembly by scatter-add over observations.
+    U = jnp.zeros((P, 6, 6), tr.dtype).at[p.obs_pose].add(
+        jnp.einsum("oik,oij->okj", wJp, Jp, precision=_PREC)
+    )
+    V = jnp.zeros((L, 3, 3), lm.dtype).at[p.obs_lm].add(
+        jnp.einsum("oik,oij->okj", Jl * w[:, None, None], Jl, precision=_PREC)
+    )
+    # W coupling: (L, P, 6, 3) — each (pose, landmark) pair has <= 1 obs.
+    Wc = jnp.zeros((L, P, 6, 3), tr.dtype).at[p.obs_lm, p.obs_pose].add(
+        jnp.einsum("oik,oij->okj", wJp, Jl, precision=_PREC)
+    )
+    # Gradient (note sign: minimize 1/2 w r^2 with J = dr/dtheta -> solve
+    # H delta = -J^T w r; fold the minus into b).
+    b_pose = jnp.zeros((P, 6), tr.dtype).at[p.obs_pose].add(
+        -jnp.einsum("oik,oi->ok", wJp, r, precision=_PREC)
+    )
+    b_lm = jnp.zeros((L, 3), lm.dtype).at[p.obs_lm].add(
+        -jnp.einsum("oik,oi->ok", Jl * w[:, None, None], r, precision=_PREC)
+    )
+
+    # Marquardt damping on the block diagonals.
+    eyeP = jnp.eye(6, dtype=tr.dtype)
+    eyeL = jnp.eye(3, dtype=lm.dtype)
+    U_d = U + lam * (U * eyeP) + 1e-9 * eyeP
+    V_d = V + lam * (V * eyeL) + 1e-9 * eyeL
+
+    V_inv = _inv3x3(V_d)  # (L, 3, 3)
+    Y = jnp.einsum("lpij,ljk->lpik", Wc, V_inv, precision=_PREC)  # (L, P, 6, 3)
+
+    # Reduced camera system S = U_d - sum_l W V^-1 W^T.
+    S = jnp.zeros((P, 6, P, 6), tr.dtype)
+    S = S.at[jnp.arange(P), :, jnp.arange(P), :].add(U_d)
+    S = S - jnp.einsum("lpik,lqjk->piqj", Y, Wc, precision=_PREC)
+    b_red = b_pose - jnp.einsum("lpik,lk->pi", Y, b_lm, precision=_PREC)
+
+    # Pin non-free poses: identity rows/cols, zero rhs.
+    m6 = jnp.repeat(p.pose_free, 6).astype(tr.dtype)  # (6P,)
+    S_flat = S.reshape(6 * P, 6 * P)
+    S_flat = S_flat * m6[:, None] * m6[None, :] + jnp.diag(1.0 - m6)
+    b_flat = b_red.reshape(-1) * m6
+
+    dp = jnp.linalg.solve(S_flat, b_flat).reshape(P, 6)
+    # Back-substitute landmarks: dx = V^-1 (b_lm - W^T dp).
+    Wt_dp = jnp.einsum("lpik,pi->lk", Wc, dp, precision=_PREC)
+    dx = jnp.einsum("ljk,lk->lj", V_inv, b_lm - Wt_dp, precision=_PREC)
+
+    # Only move landmarks that actually have observations.
+    has_obs = jnp.zeros((L,), jnp.int32).at[p.obs_lm].add(
+        p.obs_mask.astype(jnp.int32)
+    ) > 0
+    tr_new = tr + dp * p.pose_free[:, None]
+    lm_new = lm + dx * has_obs[:, None]
+    return tr_new, lm_new
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "delta"))
+def ba_solve(
+    p: BAProblem,
+    iters: int = 5,
+    delta: float = 1.0,
+    lam0: float = 1e-4,
+) -> tuple[jax.Array, jax.Array, dict]:
+    """Run ``iters`` LM iterations (the config's ``max_iterations``,
+    matching CeresBundleAdjustment.cpp:59). Returns (tr, lm, stats)."""
+
+    def body(carry, _):
+        tr, lm, lam, cost = carry
+        tr_try, lm_try = _lm_step(tr, lm, p, lam, delta)
+        cost_try = robust_cost(tr_try, lm_try, p, delta)
+        accept = cost_try < cost
+        tr = jnp.where(accept, tr_try, tr)
+        lm = jnp.where(accept, lm_try, lm)
+        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-9), jnp.minimum(lam * 4.0, 1e6))
+        cost = jnp.where(accept, cost_try, cost)
+        return (tr, lm, lam, cost), cost
+
+    cost0 = robust_cost(p.tr, p.lm, p, delta)
+    (tr, lm, lam, cost), hist = jax.lax.scan(
+        body, (p.tr, p.lm, jnp.asarray(lam0, p.tr.dtype), cost0), None, length=iters
+    )
+    return tr, lm, {"cost0": cost0, "cost": cost, "history": hist}
