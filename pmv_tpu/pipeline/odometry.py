@@ -1,0 +1,413 @@
+"""The VO pipeline orchestrator — TPU-native counterpart of
+``OdometryPipeline`` (OdometryPipeline.cpp).
+
+Flow per frame (mirroring startPipeline/addFrame/estimatePose,
+OdometryPipeline.cpp:247-426): async-prefetched image decode (the producer
+thread's successor) -> pyramid build -> batched LK track of the previous
+feature table (slot-aligned correspondences) -> reseed from grid corners when
+tracked features drop below ``tracked_features_tol`` -> pose estimation for
+the latest pair (RANSAC PnP against the live 3D map, or essential-matrix
+bootstrap triangulation with GT-derived scale when the map is thin) ->
+motion gate -> periodic sliding-window bundle adjustment -> ground-truth
+error metrics written in the reference's exact error-file format
+(:267-296).
+
+Heavy compute runs as a handful of jitted XLA programs per frame
+(pmv_tpu.pipeline.steps, pmv_tpu.solvers, pmv_tpu.ba); the host loop is
+bookkeeping only.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pmv_tpu.ba.schur_lm import BAProblem, ba_solve
+from pmv_tpu.config import VOConfig
+from pmv_tpu.core import geometry as geo
+from pmv_tpu.core.state import FeatureTable, MapState
+from pmv_tpu.frontend import corners
+from pmv_tpu.frontend.image import build_pyramid
+from pmv_tpu.io import kitti
+from pmv_tpu.io.prefetch import FramePrefetcher
+from pmv_tpu.pipeline import steps
+from pmv_tpu.pipeline.heuristics import motion_gate
+from pmv_tpu.solvers import essential, pnp
+from pmv_tpu.utils.profiling import Stopwatch
+
+
+class OdometryPipeline:
+    def __init__(self, cfg: VOConfig | str | Path):
+        if not isinstance(cfg, VOConfig):
+            cfg = VOConfig.from_ini(cfg)
+        self.cfg = cfg
+        self.file_names = kitti.list_images(cfg.image_dir)
+        self.K = jnp.asarray(
+            kitti.parse_calibration(cfg.camera_calibration, cfg.camera),
+            jnp.float32,
+        )
+        gt_R, gt_t = kitti.parse_poses(cfg.poses, stop=cfg.frames)
+        self.gt_R = gt_R.astype(np.float64)
+        self.gt_t = gt_t.astype(np.float64)
+
+        self.map = MapState.empty(cfg.map_capacity)
+        self.tables: list[FeatureTable] = []
+        # Trajectory + heuristic-delta history (host-side, tiny).
+        self.R: list[np.ndarray] = []
+        self.t: list[np.ndarray] = []
+        self.R_s: list[np.ndarray] = []
+        self.t_s: list[np.ndarray] = []
+        self.scale = 1.0
+        self.init_offset = 0
+        self.runtime = 0.0
+        self.errors_t: list[float] = []
+        self.errors_R: list[float] = []
+        self._key = jax.random.PRNGKey(cfg.seed)
+        self._watch = Stopwatch()
+        self._ba_cadence = max(1, cfg.bundle_size // 3 * 2)
+        self._prev_pyr = None
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    def _next_key(self) -> jax.Array:
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def _log(self, *args):
+        if self.cfg.verbose:
+            print(*args, flush=True)
+
+    def _n_tiles(self, shape) -> int:
+        H, W = shape
+        return math.ceil(H / self.cfg.grid_rows) * math.ceil(W / self.cfg.grid_cols)
+
+    # ------------------------------------------------------------------
+    # initialisation (OdometryPipeline.cpp:428-482)
+    # ------------------------------------------------------------------
+
+    def initialise(self, images: list[np.ndarray]) -> None:
+        """Pick the best of the first ``init_frames`` frames by the
+        reference's cost: std of per-tile feature counts + std of scores
+        (:461-464), then seed frame 0's feature table from it."""
+        cfg = self.cfg
+        best_cost = np.inf
+        best = None
+        for i, img in enumerate(images):
+            n_tiles = self._n_tiles(img.shape)
+            n_per_tile = max(1, cfg.min_tracked_features // n_tiles)
+            xy, score, valid = corners.grid_extract(
+                jnp.asarray(img),
+                n_per_tile,
+                tile_h=cfg.grid_rows,
+                tile_w=cfg.grid_cols,
+                quality=cfg.quality_level,
+                min_distance=cfg.min_distance,
+            )
+            v = np.asarray(valid)
+            s = np.asarray(score)
+            counts = v.reshape(n_tiles, n_per_tile).sum(axis=1).astype(np.float64)
+            accepted = s[v]
+            std_n = counts.std(ddof=1) if len(counts) > 1 else 0.0
+            std_s = accepted.std(ddof=1) if len(accepted) > 1 else 0.0
+            cost = std_n + std_s
+            self._log(f"init frame {i}: {v.sum()} feats, cost {cost:.3f}")
+            if cost < best_cost:
+                best_cost = cost
+                best = (i, xy, score, valid)
+        i, xy, score, valid = best
+        self.init_offset = i
+        top_xy, top_score, top_valid = corners.select_top(
+            xy, score, valid, cfg.feature_capacity
+        )
+        table = FeatureTable(
+            xy=top_xy,
+            valid=top_valid,
+            landmark=jnp.full((cfg.feature_capacity,), -1, jnp.int32),
+            score=top_score,
+        )
+        self.tables = [table]
+        self._log(
+            f"Initialised using {int(top_valid.sum())} features from frame #{i}"
+        )
+
+    # ------------------------------------------------------------------
+    # per-frame ingest (addFrame, OdometryPipeline.cpp:329-374)
+    # ------------------------------------------------------------------
+
+    def add_frame(self, img: np.ndarray) -> int:
+        cfg = self.cfg
+        pyr = build_pyramid(jnp.asarray(img), cfg.lk_levels)
+        k = len(self.tables)
+        table = steps.track_step(
+            self._prev_pyr, pyr, self.tables[k - 1], win=cfg.lk_window, iters=cfg.lk_iters
+        )
+        tracked = int(table.num_valid())
+        if tracked < cfg.tracked_features_tol:
+            n_tiles = self._n_tiles(img.shape)
+            n_per_tile = max(1, math.ceil(cfg.min_tracked_features / n_tiles))
+            self._log(
+                f"Trying to find {cfg.min_tracked_features} new features in frame #{k}"
+            )
+            table = steps.reseed_step(
+                table,
+                pyr[0],
+                n_per_tile,
+                tile_h=cfg.grid_rows,
+                tile_w=cfg.grid_cols,
+                quality=cfg.quality_level,
+                min_distance=cfg.min_distance,
+            )
+        self.tables.append(table)
+        self._prev_pyr = pyr
+        return k
+
+    # ------------------------------------------------------------------
+    # pose estimation (estimatePose, OdometryPipeline.cpp:376-426)
+    # ------------------------------------------------------------------
+
+    def estimate_pose(self, j: int) -> None:
+        """Estimate the pose of frame j+1 from the pair (j, j+1)."""
+        cfg = self.cfg
+        src = self.tables[j]
+        nxt = self.tables[j + 1]
+        R_j = jnp.asarray(self.R[j], jnp.float32)
+        t_j = jnp.asarray(self.t[j], jnp.float32)
+
+        n3d = int(steps.count_3d(src, self.map))
+        if n3d >= cfg.tracked_features_tol:
+            X_std, uv, mask, lm_slots = steps.pnp_inputs(src, nxt, self.map, R_j, t_j)
+            # Guess: last accepted relative delta (better-conditioned than
+            # the reference's global-pose guess at OpenCVEPnPSolver.cpp:10).
+            R_delta, t_delta, inliers = pnp.solve_pnp_ransac(
+                X_std,
+                uv,
+                mask,
+                self.K,
+                self._next_key(),
+                jnp.asarray(self.R_s[j], jnp.float32),
+                jnp.asarray(self.t_s[j], jnp.float32),
+                n_hypos=cfg.ransac_pnp_hypos,
+                thresh_px=cfg.ransac_pnp_thresh,
+            )
+            self.map = steps.kill_outlier_landmarks(self.map, lm_slots, mask, inliers)
+            self._log(f"frame {j}: PnP with {n3d} 3D points, {int(inliers.sum())} inliers")
+        else:
+            corr = src.valid & nxt.valid
+            E, inl = essential.find_essential_ransac(
+                src.xy,
+                nxt.xy,
+                corr,
+                self.K,
+                self._next_key(),
+                n_hypos=cfg.ransac_e_hypos,
+                thresh_px=cfg.ransac_e_thresh,
+            )
+            R_delta, t_unit, X_tri, front = essential.recover_pose(
+                E, src.xy, nxt.xy, inl, self.K
+            )
+            # Absolute scale from ground truth (OpenCVFivePointTri.cpp:28-34).
+            g = j + self.init_offset
+            self.scale = float(np.linalg.norm(self.gt_t[g + 1] - self.gt_t[g]))
+            t_delta = t_unit * self.scale
+            src2, nxt2, self.map = steps.register_triangulated(
+                src,
+                nxt,
+                self.map,
+                X_tri,
+                inl & front,
+                jnp.float32(self.scale),
+                R_j,
+                t_j,
+            )
+            self.tables[j] = src2
+            self.tables[j + 1] = nxt2
+            self._log(
+                f"frame {j}: triangulated, {int((inl & front).sum())} new landmarks"
+            )
+
+        R_new, t_new, R_s_new, t_s_new, accepted = motion_gate(
+            R_delta,
+            t_delta,
+            R_j,
+            t_j,
+            jnp.asarray(self.R_s[j], jnp.float32),
+            jnp.asarray(self.t_s[j], jnp.float32),
+            jnp.float32(self.scale),
+        )
+        if not bool(accepted):
+            self._log("Using heuristic motion")
+        self.R.append(np.asarray(R_new, np.float64))
+        self.t.append(np.asarray(t_new, np.float64))
+        self.R_s.append(np.asarray(R_s_new, np.float64))
+        self.t_s.append(np.asarray(t_s_new, np.float64))
+
+        if cfg.bundle_size and j and j % self._ba_cadence == 0:
+            self.bundle_adjust(j + 1)
+
+    # ------------------------------------------------------------------
+    # bundle adjustment window (CeresBundleAdjustment.cpp:5-89)
+    # ------------------------------------------------------------------
+
+    def bundle_adjust(self, fn_frame: int) -> None:
+        cfg = self.cfg
+        fn = fn_frame + 1
+        n = min(cfg.bundle_size, fn)
+        P = cfg.bundle_size  # static window size; early frames padded
+        N = cfg.feature_capacity
+        frame_ids = list(range(fn - n, fn))
+        pad = P - n
+
+        xy = jnp.stack(
+            [jnp.zeros((N, 2), jnp.float32)] * pad
+            + [self.tables[i].xy for i in frame_ids]
+        )
+        valid = jnp.stack(
+            [jnp.zeros((N,), jnp.bool_)] * pad
+            + [self.tables[i].valid for i in frame_ids]
+        )
+        lm = jnp.stack(
+            [jnp.full((N,), -1, jnp.int32)] * pad
+            + [self.tables[i].landmark for i in frame_ids]
+        )
+        obs_uv, obs_pose, obs_lm, obs_mask = steps.assemble_ba_window(
+            xy, valid, lm, self.map
+        )
+        tr = jnp.stack(
+            [jnp.zeros((6,), jnp.float32)] * pad
+            + [
+                jnp.asarray(
+                    geo.pose_to_ba_params(
+                        jnp.asarray(self.R[i], jnp.float32),
+                        jnp.asarray(self.t[i], jnp.float32),
+                    )
+                )
+                for i in frame_ids
+            ]
+        )
+        # Global frame 0 is held fixed (reference skips it entirely,
+        # CeresBundleAdjustment.cpp:22-23; we keep its observations as a
+        # window anchor). Padded slots are fixed too.
+        pose_free = jnp.asarray([False] * pad + [i != 0 for i in frame_ids])
+
+        prob = BAProblem(
+            tr=tr,
+            lm=self.map.xyz,
+            obs_uv=obs_uv,
+            obs_pose=obs_pose,
+            obs_lm=obs_lm,
+            obs_mask=obs_mask,
+            pose_free=pose_free,
+            K=self.K,
+        )
+        tr_out, lm_out, stats = ba_solve(prob, iters=cfg.max_iterations)
+        self._log(
+            f"BA window [{frame_ids[0]},{frame_ids[-1]}]: cost "
+            f"{float(stats['cost0']):.1f} -> {float(stats['cost']):.1f}"
+        )
+        self.map = self.map._replace(xyz=lm_out)
+        R_new, t_new = geo.ba_params_to_pose(tr_out)
+        for idx, i in enumerate(frame_ids):
+            if i == 0:
+                continue
+            self.R[i] = np.asarray(R_new[pad + idx], np.float64)
+            self.t[i] = np.asarray(t_new[pad + idx], np.float64)
+
+    # ------------------------------------------------------------------
+    # main loop (startPipeline, OdometryPipeline.cpp:247-296)
+    # ------------------------------------------------------------------
+
+    def run(self) -> dict:
+        cfg = self.cfg
+        init_paths = self.file_names[: cfg.init_frames]
+        init_imgs = [img for _, img in FramePrefetcher(init_paths)]
+        self.initialise(init_imgs)
+        self._prev_pyr = build_pyramid(
+            jnp.asarray(init_imgs[self.init_offset]), cfg.lk_levels
+        )
+
+        eye = np.eye(3)
+        zero = np.zeros(3)
+        self.R = [eye.copy()]
+        self.t = [zero.copy()]
+        self.R_s = [eye.copy()]
+        self.t_s = [zero.copy()]
+
+        self._watch.tick()
+        start = self.init_offset + 1
+        stop = min(cfg.frames, len(self.file_names))
+        paths = self.file_names[start:stop]
+        for _, img in FramePrefetcher(paths):
+            k = self.add_frame(img)
+            self.estimate_pose(k - 1)
+        jax.block_until_ready(self.map.xyz)
+        self.runtime = self._watch.tock()
+
+        self._compute_errors()
+        if cfg.error_path:
+            self.write_error_file(cfg.error_path)
+        return {
+            "runtime": self.runtime,
+            "frames": len(self.t),
+            "t_total": float(np.sum(self.errors_t)) if self.errors_t else 0.0,
+            "R_total": float(np.sum(self.errors_R)) if self.errors_R else 0.0,
+        }
+
+    # ------------------------------------------------------------------
+    # metrics + error file (OdometryPipeline.cpp:267-296)
+    # ------------------------------------------------------------------
+
+    def _compute_errors(self) -> None:
+        """Reference-faithful error computation, including its in-place
+        mutation of the stored GT arrays (cv::Mat shallow copies at
+        OdometryPipeline.cpp:273-277 flip signs *in the stored poses*, and
+        the R norm then compares against gt_R[i] — not gt_R[i+init_offset] —
+        at :279, possibly already mutated). Bug-compatible on purpose: the
+        published baseline numbers were produced by this exact computation."""
+        gt_t = self.gt_t.copy()
+        gt_R = self.gt_R.copy()
+        self.errors_t = []
+        self.errors_R = []
+        for i in range(1, len(self.t)):
+            g = i + self.init_offset
+            if g >= len(gt_t):
+                break
+            gt_t[g][2] *= -1
+            gt_R[g][2][0] *= -1
+            gt_R[g][0][2] *= -1
+            t_norm = float(np.linalg.norm(self.t[i] - gt_t[g]))
+            R_norm = float(np.linalg.norm(self.R[i] - gt_R[i]))
+            self.errors_t.append(t_norm)
+            self.errors_R.append(R_norm)
+
+    @staticmethod
+    def _std(vals: list[float]) -> float:
+        """n-1 standard deviation (OdometryPipeline.cpp:660-672)."""
+        if len(vals) < 2:
+            return 0.0
+        return float(np.std(np.asarray(vals), ddof=1))
+
+    def write_error_file(self, path: str | Path) -> None:
+        """Reference error-file format (OdometryPipeline.cpp:285-296),
+        with C++ ostream default 6-significant-digit formatting."""
+
+        def fmt(x: float) -> str:
+            return f"{x:.6g}"
+
+        lines = [
+            f"Runtime: {fmt(self.runtime)}",
+            f"R total: {fmt(sum(self.errors_R))}",
+            f"R min: {fmt(min(self.errors_R))}",
+            f"R max: {fmt(max(self.errors_R))}",
+            f"R std: {fmt(self._std(self.errors_R))}",
+            f"t total: {fmt(sum(self.errors_t))}",
+            f"t min: {fmt(min(self.errors_t))}",
+            f"t max: {fmt(max(self.errors_t))}",
+            f"t std: {fmt(self._std(self.errors_t))}",
+        ]
+        Path(path).write_text("\n".join(lines) + "\n")

@@ -1,0 +1,212 @@
+"""Jitted per-frame device steps: track, reseed, landmark bookkeeping, BA
+window assembly.
+
+These are the fused XLA programs the host-side orchestrator
+(pmv_tpu.pipeline.odometry) dispatches once per frame — the TPU-native
+equivalent of the reference's addFrame/estimatePose inner machinery
+(OdometryPipeline.cpp:329-374, :376-426) over static-shape feature tables.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from pmv_tpu.core import geometry as geo
+from pmv_tpu.core.state import FeatureTable, MapState, has_neighbor
+from pmv_tpu.frontend import corners
+from pmv_tpu.frontend import lucas_kanade as lk
+
+FLIP = jnp.diag(jnp.array([1.0, 1.0, -1.0]))
+
+
+@functools.partial(jax.jit, static_argnames=("win", "iters"))
+def track_step(
+    prev_pyr: list[jax.Array],
+    next_pyr: list[jax.Array],
+    prev_table: FeatureTable,
+    win: int = 32,
+    iters: int = 10,
+) -> FeatureTable:
+    """LK-track the previous frame's features into the next frame.
+
+    Slot-aligned correspondence (the TPU equivalent of the reference's
+    ``feat_corr`` weak-ptr map, OpenCVLucasKanadeFM.cpp:19-30): slot i of the
+    returned table corresponds to slot i of ``prev_table``; ``valid`` is the
+    track status; the landmark association is inherited.
+    """
+    new_xy, status = lk.track(
+        prev_pyr, next_pyr, prev_table.xy, prev_table.valid, win=win, iters=iters
+    )
+    return FeatureTable(
+        xy=new_xy,
+        valid=status,
+        landmark=jnp.where(status, prev_table.landmark, -1),
+        score=jnp.where(status, prev_table.score, 0.0),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_per_tile", "tile_h", "tile_w", "quality", "min_distance"),
+)
+def reseed_step(
+    table: FeatureTable,
+    img: jax.Array,
+    n_per_tile: int,
+    tile_h: int = 255,
+    tile_w: int = 255,
+    quality: float = 0.01,
+    min_distance: int = 5,
+) -> FeatureTable:
+    """Top up the feature table from fresh grid-tiled corners.
+
+    Mirrors the reseed path at OdometryPipeline.cpp:342-371: extract
+    ``n_per_tile`` corners per tile, drop candidates with an existing
+    neighbor closer than Chebyshev ``min_distance`` (Frame::hasNeighbor),
+    and append the rest — here: fill empty slots in slot order, best score
+    first. (Deviation: corners are extracted from the *new* frame's image;
+    the reference samples the previous frame's image and pastes the
+    coordinates into the new frame, OdometryPipeline.cpp:351-365.)
+    """
+    cand_xy, cand_score, cand_valid = corners.grid_extract(
+        img,
+        n_per_tile,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        quality=quality,
+        min_distance=min_distance,
+    )
+    neigh = has_neighbor(cand_xy, table.xy, table.valid, dist=min_distance)
+    ok = cand_valid & ~neigh
+    # Order candidates by score (strongest first).
+    order_score = jnp.where(ok, cand_score, corners.NEG)
+    top_score, order = jax.lax.top_k(order_score, cand_xy.shape[0])
+    cand_xy = cand_xy[order]
+    ok = top_score > corners.NEG / 2
+
+    # i-th accepted candidate -> i-th free slot (slot order).
+    N = table.capacity
+    free_slots = jnp.argsort(table.valid, stable=True)  # invalid slots first
+    num_free = N - jnp.sum(table.valid)
+    rank = jnp.cumsum(ok.astype(jnp.int32)) - 1
+    ok = ok & (rank < num_free)
+    target = jnp.where(ok, free_slots[jnp.clip(rank, 0, N - 1)], N)  # N = pad row
+
+    xy = jnp.concatenate([table.xy, jnp.zeros((1, 2), table.xy.dtype)])
+    xy = xy.at[target].set(cand_xy)[:N]
+    score = jnp.concatenate([table.score, jnp.zeros((1,), table.score.dtype)])
+    score = score.at[target].set(top_score)[:N]
+    valid = jnp.concatenate([table.valid, jnp.zeros((1,), jnp.bool_)])
+    valid = valid.at[target].set(True)[:N]
+    landmark = jnp.concatenate([table.landmark, jnp.zeros((1,), jnp.int32)])
+    landmark = landmark.at[target].set(-1)[:N]
+    return FeatureTable(xy=xy, valid=valid, landmark=landmark, score=score)
+
+
+@jax.jit
+def pnp_inputs(
+    src_table: FeatureTable,
+    next_table: FeatureTable,
+    map_state: MapState,
+    R_prev: jax.Array,
+    t_prev: jax.Array,
+):
+    """Gather the 2D-3D correspondences for the PnP stage.
+
+    The reference walks ``src.map`` + ``feat_corr`` (OpenCVEPnPSolver.cpp:
+    13-33): features of the source frame bound to a live landmark and
+    tracked into the next frame. Landmarks are moved from the pipeline's
+    z-flipped world into the previous camera's *standard* frame:
+    ``X_std = flip(R_prev^T (X - t_prev))`` — exactly transformInv + the
+    explicit z flip at :23-26.
+
+    Returns (X_std (N, 3), uv (N, 2) next-frame pixels, mask (N,),
+    lm_slots (N,)).
+    """
+    lm = src_table.landmark
+    bound = lm >= 0
+    lm_safe = jnp.clip(lm, 0)
+    alive = map_state.alive[lm_safe] & bound
+    mask = src_table.valid & next_table.valid & alive
+    X_world = map_state.xyz[lm_safe]
+    X_cam = geo.transform_inv(X_world, R_prev, t_prev)
+    X_std = X_cam * jnp.array([1.0, 1.0, -1.0], X_cam.dtype)
+    return X_std, next_table.xy, mask, lm
+
+
+@jax.jit
+def register_triangulated(
+    src_table: FeatureTable,
+    next_table: FeatureTable,
+    map_state: MapState,
+    X_cam_std: jax.Array,
+    good: jax.Array,
+    scale: jax.Array,
+    R_prev: jax.Array,
+    t_prev: jax.Array,
+) -> tuple[FeatureTable, FeatureTable, MapState]:
+    """Insert freshly triangulated landmarks into the map and bind them to
+    the corresponding feature slots of both frames.
+
+    Mirrors OpenCVFivePointTri.cpp:36-53: scale the camera-frame point by the
+    GT-derived scale, flip z (pipeline convention), keep points in front
+    (z < 0 after the flip), transform into the world with the current pose,
+    and register in both frames' maps.
+    """
+    X_scaled = X_cam_std * scale
+    X_flip = X_scaled * jnp.array([1.0, 1.0, -1.0], X_scaled.dtype)
+    in_front = X_flip[:, 2] < 0
+    insert_mask = good & in_front & src_table.valid & next_table.valid
+    X_world = geo.transform(X_flip, R_prev, t_prev)
+    new_map, slots = map_state.insert(X_world, insert_mask)
+    lm_src = jnp.where(insert_mask, slots, src_table.landmark)
+    lm_next = jnp.where(insert_mask, slots, next_table.landmark)
+    return (
+        src_table._replace(landmark=lm_src),
+        next_table._replace(landmark=lm_next),
+        new_map,
+    )
+
+
+@jax.jit
+def kill_outlier_landmarks(
+    map_state: MapState, lm_slots: jax.Array, used: jax.Array, inliers: jax.Array
+) -> MapState:
+    """Erase landmarks whose PnP correspondence was a RANSAC outlier —
+    the global erase at OpenCVEPnPSolver.cpp:40-49."""
+    return map_state.kill(lm_slots, used & ~inliers)
+
+
+@jax.jit
+def assemble_ba_window(
+    window_xy: jax.Array,       # (P, N, 2)
+    window_valid: jax.Array,    # (P, N)
+    window_lm: jax.Array,       # (P, N)
+    map_state: MapState,
+):
+    """Flatten a window of feature tables into BA observation arrays.
+
+    The reference adds one residual block per (window frame, live-landmark
+    feature) (CeresBundleAdjustment.cpp:36-52). Returns (obs_uv (P*N, 2),
+    obs_pose (P*N,), obs_lm (P*N,), obs_mask (P*N,)).
+    """
+    P, N = window_valid.shape
+    bound = window_lm >= 0
+    lm_safe = jnp.clip(window_lm, 0)
+    alive = map_state.alive[lm_safe] & bound
+    mask = window_valid & alive
+    obs_pose = jnp.repeat(jnp.arange(P, dtype=jnp.int32), N)
+    return (
+        window_xy.reshape(P * N, 2),
+        obs_pose,
+        lm_safe.reshape(P * N).astype(jnp.int32),
+        mask.reshape(P * N),
+    )
+
+
+@jax.jit
+def count_3d(table: FeatureTable, map_state: MapState) -> jax.Array:
+    return table.count_3d(map_state.alive)

@@ -1,0 +1,147 @@
+"""End-to-end pipeline tests on synthetic ground-truthed sequences.
+
+The reference has no tests; its de-facto regression artifact is the
+trajectory-error file computed against KITTI ground truth
+(OdometryPipeline.cpp:267-296). These tests reproduce that loop in miniature:
+synthetic sequence -> disk KITTI layout -> full pipeline -> error metrics.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pmv_tpu.config import VOConfig
+from pmv_tpu.core.state import FeatureTable, MapState
+from pmv_tpu.io import synthetic
+from pmv_tpu.pipeline import steps
+from pmv_tpu.pipeline.heuristics import motion_gate
+from pmv_tpu.pipeline.odometry import OdometryPipeline
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    seq = synthetic.make_sequence(
+        n_frames=30, shape=(192, 512), density=80, speed=1.0, yaw_rate=0.002, seed=7
+    )
+    out = tmp_path_factory.mktemp("kitti")
+    paths = synthetic.write_kitti_layout(seq, out)
+    return seq, paths
+
+
+def make_cfg(paths, **kw):
+    defaults = dict(
+        image_dir=paths["image_dir"],
+        camera_calibration=paths["camera_calibration"],
+        poses=paths["poses"],
+        camera=0,
+        frames=30,
+        init_frames=3,
+        min_tracked_features=300,
+        tracked_features_tol=100,
+        bundle_size=5,
+        max_iterations=5,
+        feature_capacity=512,
+        map_capacity=4096,
+        grid_rows=96,
+        grid_cols=128,
+        lk_window=21,
+        verbose=0,
+    )
+    defaults.update(kw)
+    return VOConfig(**defaults)
+
+
+class TestMotionGate:
+    def test_accepts_forward_motion(self):
+        R_new, t_new, R_s, t_s, acc = motion_gate(
+            jnp.eye(3), jnp.array([0.01, 0.02, -1.0]),
+            jnp.eye(3), jnp.zeros(3), jnp.eye(3), jnp.zeros(3), jnp.float32(1.0),
+        )
+        assert bool(acc)
+        np.testing.assert_allclose(np.asarray(t_new), [0.01, 0.02, -1.0], atol=1e-6)
+
+    def test_rejects_backward_and_replays(self):
+        prev_delta = np.array([0.0, 0.0, -0.9])
+        R_new, t_new, R_s, t_s, acc = motion_gate(
+            jnp.eye(3), jnp.array([0.0, 0.0, +1.0]),  # backward
+            jnp.eye(3), jnp.zeros(3), jnp.eye(3), jnp.asarray(prev_delta),
+            jnp.float32(1.0),
+        )
+        assert not bool(acc)
+        np.testing.assert_allclose(np.asarray(t_new), prev_delta, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(t_s), prev_delta, atol=1e-6)
+
+    def test_rejects_oversized_step(self):
+        _, _, _, _, acc = motion_gate(
+            jnp.eye(3), jnp.array([0.0, 0.0, -5.0]),
+            jnp.eye(3), jnp.zeros(3), jnp.eye(3), jnp.zeros(3), jnp.float32(1.0),
+        )
+        assert not bool(acc)  # |tz| >= 2*scale
+
+    def test_rejects_sideways_dominant(self):
+        _, _, _, _, acc = motion_gate(
+            jnp.eye(3), jnp.array([1.0, 0.0, -0.5]),
+            jnp.eye(3), jnp.zeros(3), jnp.eye(3), jnp.zeros(3), jnp.float32(1.0),
+        )
+        assert not bool(acc)
+
+
+class TestReseed:
+    def test_fills_free_slots_only(self, rng):
+        from tests_helpers_blob import blob_image
+
+        img = blob_image((96, 128), [(20, 20), (50, 40), (90, 70), (110, 30)])
+        table = FeatureTable.empty(8)
+        table = table._replace(
+            xy=table.xy.at[0].set(jnp.array([20.0, 20.0])),
+            valid=table.valid.at[0].set(True),
+            landmark=table.landmark.at[0].set(42),
+        )
+        out = steps.reseed_step(table, jnp.asarray(img), n_per_tile=8, tile_h=96, tile_w=128)
+        # slot 0 untouched
+        assert out.landmark[0] == 42
+        assert bool(out.valid[0])
+        np.testing.assert_allclose(np.asarray(out.xy[0]), [20, 20])
+        # new corners landed in later slots, not near (20,20)
+        new = np.asarray(out.xy[np.asarray(out.valid)])
+        assert len(new) >= 3
+        d = np.abs(new - [20.0, 20.0]).max(axis=1)
+        assert (d[1:] >= 5).all()
+        # fresh features have no landmark
+        assert (np.asarray(out.landmark[np.asarray(out.valid)])[1:] == -1).all()
+
+
+class TestEndToEnd:
+    def test_pipeline_tracks_synthetic_trajectory(self, dataset):
+        seq, paths = dataset
+        cfg = make_cfg(paths)
+        pipe = OdometryPipeline(cfg)
+        result = pipe.run()
+        assert result["frames"] >= 25
+        # Trajectory should follow the z-flipped GT within a few meters over
+        # a ~27 m run (bootstrap + PnP + gate + BA all working together).
+        t_est = np.stack(pipe.t)
+        gt = pipe.gt_t.copy()
+        gt[:, 2] *= -1
+        errs = [
+            np.linalg.norm(t_est[i] - gt[i + pipe.init_offset])
+            for i in range(1, len(t_est))
+        ]
+        mean_err = float(np.mean(errs))
+        assert mean_err < 3.0, f"mean trajectory error {mean_err} m; tail {errs[-5:]}"
+
+    def test_error_file_format(self, dataset, tmp_path):
+        seq, paths = dataset
+        err_file = tmp_path / "error.txt"
+        cfg = make_cfg(paths, error_path=str(err_file), frames=12, init_frames=2)
+        pipe = OdometryPipeline(cfg)
+        pipe.run()
+        text = err_file.read_text()
+        lines = text.strip().splitlines()
+        keys = [l.split(":")[0] for l in lines]
+        assert keys == [
+            "Runtime", "R total", "R min", "R max", "R std",
+            "t total", "t min", "t max", "t std",
+        ]
+        for l in lines:
+            float(l.split(":")[1])  # every value parses
