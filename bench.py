@@ -1,0 +1,117 @@
+"""Benchmark harness — one JSON line for the driver.
+
+Measures end-to-end VO throughput (frames/s) of the full pipeline on a
+KITTI-sized synthetic sequence (1226x370, the KITTI odometry frame size) on
+the available accelerator. Baseline: the reference C++ pipeline's published
+KITTI-07 run at the default bundle_size=5 / max_iterations=5 config —
+600 frames in 24.15 s = 24.8 frames/s (Presentation.pdf slide 14; see
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/pmv_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+
+BASELINE_FPS = 24.8  # reference 5/5 config on KITTI 07 (BASELINE.md)
+
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "120"))
+WARMUP_FRAMES = 12
+SHAPE = (370, 1226)  # KITTI odometry grayscale frame size
+CACHE = Path(os.environ.get("BENCH_CACHE", "/tmp/pmv_bench_data"))
+
+
+def build_dataset() -> dict:
+    from pmv_tpu.io import synthetic
+
+    marker = CACHE / f"ok_{N_FRAMES}_{SHAPE[0]}x{SHAPE[1]}"
+    paths = {
+        "image_dir": str(CACHE / "image_0"),
+        "camera_calibration": str(CACHE / "calib.txt"),
+        "poses": str(CACHE / "poses.txt"),
+    }
+    if marker.exists():
+        return paths
+    seq = synthetic.make_sequence(
+        n_frames=N_FRAMES,
+        shape=SHAPE,
+        K=synthetic.KITTI_K,
+        density=150.0,
+        speed=1.0,
+        yaw_rate=0.004,
+        seed=0,
+    )
+    synthetic.write_kitti_layout(seq, CACHE)
+    marker.touch()
+    return paths
+
+
+def make_pipeline(paths: dict, frames: int):
+    from pmv_tpu.config import VOConfig
+    from pmv_tpu.pipeline.odometry import OdometryPipeline
+
+    cfg = VOConfig(
+        image_dir=paths["image_dir"],
+        camera_calibration=paths["camera_calibration"],
+        poses=paths["poses"],
+        camera=0,
+        frames=frames,
+        init_frames=5,
+        min_tracked_features=400,
+        tracked_features_tol=150,
+        bundle_size=5,
+        max_iterations=5,
+        feature_capacity=512,
+        map_capacity=16384,
+        verbose=0,
+        seed=0,
+    )
+    return OdometryPipeline(cfg)
+
+
+def main() -> None:
+    paths = build_dataset()
+
+    # Warmup run: trigger every compile (fused step, both cond branches
+    # typically, BA) so the timed run measures steady-state throughput.
+    warm = make_pipeline(paths, WARMUP_FRAMES)
+    warm.run()
+
+    pipe = make_pipeline(paths, N_FRAMES)
+    result = pipe.run()
+    fps = result["frames"] / max(result["runtime"], 1e-9)
+
+    print(
+        json.dumps(
+            {
+                "metric": "vo_frames_per_sec",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "detail": {
+                    "frames": result["frames"],
+                    "runtime_s": round(result["runtime"], 2),
+                    "t_total": round(result["t_total"], 1),
+                    "R_total": round(result["R_total"], 3),
+                    "device": str(jax.devices()[0]),
+                    "frame_shape": list(SHAPE),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

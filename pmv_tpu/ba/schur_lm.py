@@ -97,53 +97,74 @@ def _inv3x3(V: jax.Array) -> jax.Array:
     return adj * inv_det[..., None, None]
 
 
-def _lm_step(tr, lm, p: BAProblem, lam, delta: float):
-    """One damped LM step. Returns (tr_new, lm_new)."""
+def assemble_blocks(tr, lm, obs_uv, obs_pose, obs_lm, obs_mask, pose_free, K, delta):
+    """Assemble the Schur building blocks from (a shard of) observations.
+
+    Returns (U (P,6,6), V (L,3,3), Wc (L,P,6,3), b_pose (P,6), b_lm (L,3),
+    has_obs (L,)). U and b_pose are *partial sums* when the observations are
+    a landmark shard — the distributed solver psums them over the 'lm' mesh
+    axis (pmv_tpu.parallel.dist_ba); V/Wc/b_lm are landmark-local.
+    """
     P = tr.shape[0]
     L = lm.shape[0]
 
     def res_one(tr6, X3, uv):
-        return uv - geo.ba_project(tr6, X3, p.K)
+        return uv - geo.ba_project(tr6, X3, K)
 
-    tr_o = tr[p.obs_pose]
-    lm_o = lm[p.obs_lm]
-    r = jax.vmap(res_one)(tr_o, lm_o, p.obs_uv)  # (O, 2)
-    Jp = jax.vmap(jax.jacfwd(res_one, argnums=0))(tr_o, lm_o, p.obs_uv)  # (O, 2, 6)
-    Jl = jax.vmap(jax.jacfwd(res_one, argnums=1))(tr_o, lm_o, p.obs_uv)  # (O, 2, 3)
+    tr_o = tr[obs_pose]
+    lm_o = lm[obs_lm]
+    r = jax.vmap(res_one)(tr_o, lm_o, obs_uv)  # (O, 2)
+    Jp = jax.vmap(jax.jacfwd(res_one, argnums=0))(tr_o, lm_o, obs_uv)  # (O, 2, 6)
+    Jl = jax.vmap(jax.jacfwd(res_one, argnums=1))(tr_o, lm_o, obs_uv)  # (O, 2, 3)
 
     r2 = jnp.sum(r * r, axis=-1)
-    w = geo.huber_weight(r2, delta) * p.obs_mask  # IRLS weights (O,)
+    w = geo.huber_weight(r2, delta) * obs_mask  # IRLS weights (O,)
     # A fixed pose contributes no pose Jacobian, but its observations still
     # constrain the landmarks (anchoring the window better than the
     # reference's drop-frame-0 scheme; callers can reproduce that scheme by
     # clearing obs_mask instead).
-    free_obs = p.pose_free[p.obs_pose]
+    free_obs = pose_free[obs_pose]
     Jp = Jp * free_obs[:, None, None]
 
     wJp = Jp * w[:, None, None]
     # Block assembly by scatter-add over observations.
-    U = jnp.zeros((P, 6, 6), tr.dtype).at[p.obs_pose].add(
+    U = jnp.zeros((P, 6, 6), tr.dtype).at[obs_pose].add(
         jnp.einsum("oik,oij->okj", wJp, Jp, precision=_PREC)
     )
-    V = jnp.zeros((L, 3, 3), lm.dtype).at[p.obs_lm].add(
+    V = jnp.zeros((L, 3, 3), lm.dtype).at[obs_lm].add(
         jnp.einsum("oik,oij->okj", Jl * w[:, None, None], Jl, precision=_PREC)
     )
     # W coupling: (L, P, 6, 3) — each (pose, landmark) pair has <= 1 obs.
-    Wc = jnp.zeros((L, P, 6, 3), tr.dtype).at[p.obs_lm, p.obs_pose].add(
+    Wc = jnp.zeros((L, P, 6, 3), tr.dtype).at[obs_lm, obs_pose].add(
         jnp.einsum("oik,oij->okj", wJp, Jl, precision=_PREC)
     )
     # Gradient (note sign: minimize 1/2 w r^2 with J = dr/dtheta -> solve
     # H delta = -J^T w r; fold the minus into b).
-    b_pose = jnp.zeros((P, 6), tr.dtype).at[p.obs_pose].add(
+    b_pose = jnp.zeros((P, 6), tr.dtype).at[obs_pose].add(
         -jnp.einsum("oik,oi->ok", wJp, r, precision=_PREC)
     )
-    b_lm = jnp.zeros((L, 3), lm.dtype).at[p.obs_lm].add(
+    b_lm = jnp.zeros((L, 3), lm.dtype).at[obs_lm].add(
         -jnp.einsum("oik,oi->ok", Jl * w[:, None, None], r, precision=_PREC)
     )
+    has_obs = jnp.zeros((L,), jnp.int32).at[obs_lm].add(obs_mask.astype(jnp.int32)) > 0
+    return U, V, Wc, b_pose, b_lm, has_obs
 
-    # Marquardt damping on the block diagonals.
-    eyeP = jnp.eye(6, dtype=tr.dtype)
-    eyeL = jnp.eye(3, dtype=lm.dtype)
+
+def schur_solve(U, V, Wc, b_pose, b_lm, has_obs, pose_free, lam, *, psum_axis=None):
+    """Damped Schur-complement solve from assembled blocks.
+
+    When ``psum_axis`` is given, U/b_pose and the reduced system partials are
+    all-reduced over that mesh axis (landmark-sharded distributed BA); the
+    tiny (6P, 6P) solve is then performed redundantly on every shard, and
+    the landmark back-substitution stays local. Returns (dp (P,6), dx (L,3)).
+    """
+    P = b_pose.shape[0]
+    dtype = b_pose.dtype
+    eyeP = jnp.eye(6, dtype=dtype)
+    eyeL = jnp.eye(3, dtype=dtype)
+    if psum_axis is not None:
+        U = jax.lax.psum(U, psum_axis)
+        b_pose = jax.lax.psum(b_pose, psum_axis)
     U_d = U + lam * (U * eyeP) + 1e-9 * eyeP
     V_d = V + lam * (V * eyeL) + 1e-9 * eyeL
 
@@ -151,13 +172,18 @@ def _lm_step(tr, lm, p: BAProblem, lam, delta: float):
     Y = jnp.einsum("lpij,ljk->lpik", Wc, V_inv, precision=_PREC)  # (L, P, 6, 3)
 
     # Reduced camera system S = U_d - sum_l W V^-1 W^T.
-    S = jnp.zeros((P, 6, P, 6), tr.dtype)
+    S_corr = jnp.einsum("lpik,lqjk->piqj", Y, Wc, precision=_PREC)
+    b_corr = jnp.einsum("lpik,lk->pi", Y, b_lm, precision=_PREC)
+    if psum_axis is not None:
+        S_corr = jax.lax.psum(S_corr, psum_axis)
+        b_corr = jax.lax.psum(b_corr, psum_axis)
+    S = jnp.zeros((P, 6, P, 6), dtype)
     S = S.at[jnp.arange(P), :, jnp.arange(P), :].add(U_d)
-    S = S - jnp.einsum("lpik,lqjk->piqj", Y, Wc, precision=_PREC)
-    b_red = b_pose - jnp.einsum("lpik,lk->pi", Y, b_lm, precision=_PREC)
+    S = S - S_corr
+    b_red = b_pose - b_corr
 
     # Pin non-free poses: identity rows/cols, zero rhs.
-    m6 = jnp.repeat(p.pose_free, 6).astype(tr.dtype)  # (6P,)
+    m6 = jnp.repeat(pose_free, 6).astype(dtype)  # (6P,)
     S_flat = S.reshape(6 * P, 6 * P)
     S_flat = S_flat * m6[:, None] * m6[None, :] + jnp.diag(1.0 - m6)
     b_flat = b_red.reshape(-1) * m6
@@ -166,13 +192,18 @@ def _lm_step(tr, lm, p: BAProblem, lam, delta: float):
     # Back-substitute landmarks: dx = V^-1 (b_lm - W^T dp).
     Wt_dp = jnp.einsum("lpik,pi->lk", Wc, dp, precision=_PREC)
     dx = jnp.einsum("ljk,lk->lj", V_inv, b_lm - Wt_dp, precision=_PREC)
+    dx = dx * has_obs[:, None]
+    return dp, dx
 
-    # Only move landmarks that actually have observations.
-    has_obs = jnp.zeros((L,), jnp.int32).at[p.obs_lm].add(
-        p.obs_mask.astype(jnp.int32)
-    ) > 0
+
+def _lm_step(tr, lm, p: BAProblem, lam, delta: float):
+    """One damped LM step. Returns (tr_new, lm_new)."""
+    U, V, Wc, b_pose, b_lm, has_obs = assemble_blocks(
+        tr, lm, p.obs_uv, p.obs_pose, p.obs_lm, p.obs_mask, p.pose_free, p.K, delta
+    )
+    dp, dx = schur_solve(U, V, Wc, b_pose, b_lm, has_obs, p.pose_free, lam)
     tr_new = tr + dp * p.pose_free[:, None]
-    lm_new = lm + dx * has_obs[:, None]
+    lm_new = lm + dx
     return tr_new, lm_new
 
 

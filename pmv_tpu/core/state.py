@@ -104,7 +104,9 @@ class MapState(NamedTuple):
         xyz = xyz.at[scatter_idx].set(pts)[: self.capacity]
         alive = jnp.concatenate([self.alive, jnp.zeros_like(self.alive[:1])])
         alive = alive.at[scatter_idx].set(True)[: self.capacity]
-        new_head = (self.head + jnp.sum(mask.astype(jnp.int32))) % self.capacity
+        new_head = ((self.head + jnp.sum(mask.astype(jnp.int32))) % self.capacity).astype(
+            jnp.int32
+        )
         return MapState(xyz=xyz, alive=alive, head=new_head), slots.astype(jnp.int32)
 
     def kill(self, slots: jax.Array, mask: jax.Array) -> "MapState":

@@ -322,7 +322,114 @@ class OdometryPipeline:
     # main loop (startPipeline, OdometryPipeline.cpp:247-296)
     # ------------------------------------------------------------------
 
+    def _seed_trajectory(self) -> None:
+        eye = np.eye(3)
+        zero = np.zeros(3)
+        self.R = [eye.copy()]
+        self.t = [zero.copy()]
+        self.R_s = [eye.copy()]
+        self.t_s = [zero.copy()]
+
+    def _finish(self) -> dict:
+        self._compute_errors()
+        if self.cfg.error_path:
+            self.write_error_file(self.cfg.error_path)
+        return {
+            "runtime": self.runtime,
+            "frames": len(self.t),
+            "t_total": float(np.sum(self.errors_t)) if self.errors_t else 0.0,
+            "R_total": float(np.sum(self.errors_R)) if self.errors_R else 0.0,
+        }
+
     def run(self) -> dict:
+        """Fused-step main loop: one XLA dispatch per frame (plus periodic
+        BA), with async host-side frame prefetch — the TPU-native analogue of
+        the reference's two-thread pipeline."""
+        from pmv_tpu.pipeline import fused
+
+        cfg = self.cfg
+        init_paths = self.file_names[: cfg.init_frames]
+        init_imgs = [img for _, img in FramePrefetcher(init_paths)]
+        self.initialise(init_imgs)
+        self._seed_trajectory()
+
+        img0 = init_imgs[self.init_offset]
+        n_tiles = self._n_tiles(img0.shape)
+        step_cfg = fused.StepConfig(
+            lk_levels=cfg.lk_levels,
+            lk_window=cfg.lk_window,
+            lk_iters=cfg.lk_iters,
+            tile_h=cfg.grid_rows,
+            tile_w=cfg.grid_cols,
+            n_per_tile=max(1, math.ceil(cfg.min_tracked_features / n_tiles)),
+            quality=cfg.quality_level,
+            min_distance=cfg.min_distance,
+            tracked_tol=cfg.tracked_features_tol,
+            e_hypos=cfg.ransac_e_hypos,
+            e_thresh=cfg.ransac_e_thresh,
+            pnp_hypos=cfg.ransac_pnp_hypos,
+            pnp_thresh=cfg.ransac_pnp_thresh,
+        )
+        state = fused.StepState(
+            pyr=tuple(build_pyramid(jnp.asarray(img0), cfg.lk_levels)),
+            table=self.tables[0],
+            map=self.map,
+            R=jnp.eye(3, dtype=jnp.float32),
+            t=jnp.zeros(3, jnp.float32),
+            R_s=jnp.eye(3, dtype=jnp.float32),
+            t_s=jnp.zeros(3, jnp.float32),
+            scale=jnp.float32(self.scale),
+        )
+
+        self._watch.tick()
+        start = self.init_offset + 1
+        stop = min(cfg.frames, len(self.file_names))
+        paths = self.file_names[start:stop]
+        for _, img in FramePrefetcher(paths):
+            k = len(self.tables)  # index of the incoming frame
+            j = k - 1
+            g = j + self.init_offset
+            if g + 1 >= len(self.gt_t):
+                break
+            gt_step = jnp.float32(np.linalg.norm(self.gt_t[g + 1] - self.gt_t[g]))
+            state, src_table, stats = fused.frame_step(
+                state, jnp.asarray(img, jnp.float32), gt_step, self._next_key(),
+                self.K, step_cfg,
+            )
+            self.tables[j] = src_table
+            self.tables.append(state.table)
+            R_np, t_np, Rs_np, ts_np = jax.device_get(
+                (state.R, state.t, state.R_s, state.t_s)
+            )
+            self.R.append(np.asarray(R_np, np.float64))
+            self.t.append(np.asarray(t_np, np.float64))
+            self.R_s.append(np.asarray(Rs_np, np.float64))
+            self.t_s.append(np.asarray(ts_np, np.float64))
+            if self.cfg.verbose:
+                s = jax.device_get(stats)
+                self._log(
+                    f"frame {j}: tracked {int(s['tracked'])}, n3d {int(s['n3d'])}, "
+                    f"{'pnp' if bool(s['used_pnp']) else 'tri'}, "
+                    f"inliers {int(s['inliers'])}, accepted {bool(s['accepted'])}"
+                )
+            if cfg.bundle_size and j and j % self._ba_cadence == 0:
+                self.map = state.map
+                self.bundle_adjust(k)
+                state = state._replace(
+                    map=self.map,
+                    R=jnp.asarray(self.R[k], jnp.float32),
+                    t=jnp.asarray(self.t[k], jnp.float32),
+                )
+        self.map = state.map
+        jax.block_until_ready(self.map.xyz)
+        self.runtime = self._watch.tock()
+        self.scale = float(state.scale)
+        return self._finish()
+
+    def run_modular(self) -> dict:
+        """Reference-shaped loop using the unfused per-stage steps — one
+        dispatch per stage. Slower (more round trips) but easier to
+        instrument; behaviorally equivalent to run()."""
         cfg = self.cfg
         init_paths = self.file_names[: cfg.init_frames]
         init_imgs = [img for _, img in FramePrefetcher(init_paths)]
@@ -330,13 +437,7 @@ class OdometryPipeline:
         self._prev_pyr = build_pyramid(
             jnp.asarray(init_imgs[self.init_offset]), cfg.lk_levels
         )
-
-        eye = np.eye(3)
-        zero = np.zeros(3)
-        self.R = [eye.copy()]
-        self.t = [zero.copy()]
-        self.R_s = [eye.copy()]
-        self.t_s = [zero.copy()]
+        self._seed_trajectory()
 
         self._watch.tick()
         start = self.init_offset + 1
@@ -347,16 +448,7 @@ class OdometryPipeline:
             self.estimate_pose(k - 1)
         jax.block_until_ready(self.map.xyz)
         self.runtime = self._watch.tock()
-
-        self._compute_errors()
-        if cfg.error_path:
-            self.write_error_file(cfg.error_path)
-        return {
-            "runtime": self.runtime,
-            "frames": len(self.t),
-            "t_total": float(np.sum(self.errors_t)) if self.errors_t else 0.0,
-            "R_total": float(np.sum(self.errors_R)) if self.errors_R else 0.0,
-        }
+        return self._finish()
 
     # ------------------------------------------------------------------
     # metrics + error file (OdometryPipeline.cpp:267-296)

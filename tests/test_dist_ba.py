@@ -1,0 +1,93 @@
+"""Distributed BA tests on the virtual 8-device CPU mesh: the sharded
+solver must agree with the single-device solver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pmv_tpu.ba.schur_lm import ba_solve
+from pmv_tpu.parallel import dist_ba, mesh as mesh_lib
+from test_ba import make_window
+
+
+@pytest.fixture(scope="module")
+def mesh42():
+    return mesh_lib.make_mesh(dp=2, lm=4)
+
+
+def shard_problem(prob, n_shards):
+    """Lay one BAProblem out for the lm-sharded solver."""
+    uv, pose, lml, mask, O_s, Ls = dist_ba.partition_obs_by_landmark(
+        np.asarray(prob.obs_uv),
+        np.asarray(prob.obs_pose),
+        np.asarray(prob.obs_lm),
+        np.asarray(prob.obs_mask),
+        n_landmarks=prob.lm.shape[0],
+        n_shards=n_shards,
+    )
+    L_pad = Ls * n_shards
+    lm_pad = np.zeros((L_pad, 3), np.asarray(prob.lm).dtype)
+    lm_pad[: prob.lm.shape[0]] = np.asarray(prob.lm)
+    return uv, pose, lml, mask, lm_pad, Ls
+
+
+class TestDistributedBA:
+    def test_matches_single_device(self, mesh42):
+        rng = np.random.default_rng(0)
+        # two independent windows (one per dp shard)
+        probs = [make_window(rng, P=5, L=64, noise=0.3)[0] for _ in range(2)]
+        n_lm_shards = 4
+
+        # single-device reference solutions
+        ref = [ba_solve(p, iters=6) for p in probs]
+
+        # build the (D, ...) global arrays
+        parts = [shard_problem(p, n_lm_shards) for p in probs]
+        D = 2
+        tr = jnp.stack([p.tr for p in probs])
+        lm = jnp.stack([jnp.asarray(part[4]) for part in parts])
+        obs_uv = jnp.stack([jnp.asarray(part[0]) for part in parts])
+        obs_pose = jnp.stack([jnp.asarray(part[1], dtype=jnp.int32) for part in parts])
+        obs_lm = jnp.stack([jnp.asarray(part[2], dtype=jnp.int32) for part in parts])
+        obs_mask = jnp.stack([jnp.asarray(part[3]) for part in parts])
+        pose_free = jnp.stack([p.pose_free for p in probs])
+        K = probs[0].K
+
+        solver = dist_ba.make_distributed_ba(mesh42, iters=6)
+        tr_out, lm_out, cost0, cost = solver(
+            tr, lm, obs_uv, obs_pose, obs_lm, obs_mask, pose_free, K
+        )
+        for d in range(D):
+            tr_ref, lm_ref, stats = ref[d]
+            np.testing.assert_allclose(
+                np.asarray(tr_out[d]), np.asarray(tr_ref), atol=1e-5
+            )
+            L = probs[d].lm.shape[0]
+            np.testing.assert_allclose(
+                np.asarray(lm_out[d][:L]), np.asarray(lm_ref), atol=1e-4
+            )
+            # costs agree too
+            np.testing.assert_allclose(
+                float(cost[d]), float(stats["cost"]), rtol=1e-6, atol=1e-8
+            )
+
+    def test_runs_on_8_lm_shards(self):
+        rng = np.random.default_rng(1)
+        prob, tr_gt, X_gt = make_window(rng, P=5, L=64, noise=0.1)
+        m = mesh_lib.make_mesh(dp=1, lm=8)
+        part = shard_problem(prob, 8)
+        solver = dist_ba.make_distributed_ba(m, iters=5)
+        tr_out, lm_out, cost0, cost = solver(
+            prob.tr[None],
+            jnp.asarray(part[4])[None],
+            jnp.asarray(part[0])[None],
+            jnp.asarray(part[1], dtype=jnp.int32)[None],
+            jnp.asarray(part[2], dtype=jnp.int32)[None],
+            jnp.asarray(part[3])[None],
+            prob.pose_free[None],
+            prob.K,
+        )
+        assert float(cost[0]) < float(cost0[0])
+        err = np.abs(np.asarray(tr_out[0]) - tr_gt).max()
+        assert err < 0.02, f"pose error {err}"
