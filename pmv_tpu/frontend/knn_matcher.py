@@ -1,0 +1,81 @@
+"""Patch-SSD k-nearest-neighbor feature matcher (the LK alternative).
+
+TPU-native rewrite of kNNFeatureMatcher.cpp:3-122: extract ~1000 fresh
+corners in the next frame; for each previous feature take its k=7 spatial
+nearest neighbors (Chebyshev distance, matching ``Feature::distance``),
+pick the best by 15x15 SSD patch error, accept if the error is below the
+threshold (2.0), and reject matches whose displacement exceeds 3x the mean
+displacement. The reference's O(n^2) neighbor scans become one batched
+distance matrix + top-k; the SSD comparisons one gather + reduction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pmv_tpu.core.state import FeatureTable
+from pmv_tpu.frontend.lucas_kanade import bilinear_sample
+
+
+def _patches(img: jax.Array, xy: jax.Array, window: int) -> jax.Array:
+    """(N, 2) centers -> (N, window, window) patches (border-replicated;
+    the reference instead skips out-of-bounds pixels in the SSD sum)."""
+    half = window // 2
+    off = jnp.arange(window, dtype=xy.dtype) - half
+    yy = xy[:, 1, None, None] + off[None, :, None]
+    xx = xy[:, 0, None, None] + off[None, None, :]
+    return bilinear_sample(img, jnp.broadcast_to(yy, (xy.shape[0], window, window)),
+                           jnp.broadcast_to(xx, (xy.shape[0], window, window)))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window", "threshold"))
+def knn_match(
+    prev_img: jax.Array,
+    next_img: jax.Array,
+    prev_table: FeatureTable,
+    cand_xy: jax.Array,
+    cand_valid: jax.Array,
+    k: int = 7,
+    window: int = 15,
+    threshold: float = 2.0,
+) -> FeatureTable:
+    """Match ``prev_table`` features into candidate corners of the next
+    frame. Returns the next frame's slot-aligned FeatureTable (valid =
+    matched, landmark inherited)."""
+    N = prev_table.capacity
+    # Chebyshev spatial distance matrix (N, C) — Feature.cpp:9-15 max-norm.
+    d = jnp.max(
+        jnp.abs(prev_table.xy[:, None, :] - cand_xy[None, :, :]), axis=-1
+    )
+    d = jnp.where(cand_valid[None, :], d, jnp.inf)
+    k = min(k, cand_xy.shape[0])
+    _, nn = lax.top_k(-d, k)  # (N, k) nearest candidate indices
+
+    P_prev = _patches(prev_img, prev_table.xy, window)  # (N, w, w)
+    nn_xy = cand_xy[nn.reshape(-1)]  # (N*k, 2)
+    P_next = _patches(next_img, nn_xy, window).reshape(N, k, window, window)
+    # Reference error: sqrt(SSD) / window^2 (kNNFeatureMatcher.cpp:120).
+    ssd = jnp.sum((P_next - P_prev[:, None]) ** 2, axis=(2, 3))
+    err = jnp.sqrt(ssd) / (window * window)
+    best = jnp.argmin(err, axis=1)  # (N,)
+    best_err = jnp.take_along_axis(err, best[:, None], axis=1)[:, 0]
+    best_idx = jnp.take_along_axis(nn, best[:, None], axis=1)[:, 0]
+    best_xy = cand_xy[best_idx]
+
+    matched = prev_table.valid & (best_err < threshold)
+    disp = jnp.max(jnp.abs(best_xy - prev_table.xy), axis=-1)  # Chebyshev
+    mean_disp = jnp.sum(jnp.where(matched, disp, 0.0)) / jnp.maximum(
+        jnp.sum(matched), 1
+    )
+    matched = matched & (disp <= 3.0 * mean_disp)
+
+    return FeatureTable(
+        xy=best_xy,
+        valid=matched,
+        landmark=jnp.where(matched, prev_table.landmark, -1),
+        score=jnp.where(matched, prev_table.score, 0.0),
+    )

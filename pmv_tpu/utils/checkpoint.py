@@ -1,0 +1,72 @@
+"""Checkpoint / resume for pipeline runs.
+
+The reference has no restorable state at all (SURVEY.md section 5 — only the
+error file and video are persisted). For long multi-sequence production runs
+the TPU framework checkpoints the full pipeline state — trajectory,
+heuristic history, landmark map, per-frame feature tables, RNG key, scale —
+as a single compressed npz, and can resume mid-sequence.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from pmv_tpu.core.state import FeatureTable, MapState
+
+FORMAT_VERSION = 1
+
+
+def save(pipe, path: str | Path) -> None:
+    """Snapshot an OdometryPipeline mid- or post-run."""
+    tables = pipe.tables
+    np.savez_compressed(
+        path,
+        version=FORMAT_VERSION,
+        init_offset=pipe.init_offset,
+        scale=pipe.scale,
+        runtime=pipe.runtime,
+        key=np.asarray(pipe._key),
+        R=np.stack(pipe.R) if pipe.R else np.zeros((0, 3, 3)),
+        t=np.stack(pipe.t) if pipe.t else np.zeros((0, 3)),
+        R_s=np.stack(pipe.R_s) if pipe.R_s else np.zeros((0, 3, 3)),
+        t_s=np.stack(pipe.t_s) if pipe.t_s else np.zeros((0, 3)),
+        map_xyz=np.asarray(pipe.map.xyz),
+        map_alive=np.asarray(pipe.map.alive),
+        map_head=np.asarray(pipe.map.head),
+        tbl_xy=np.stack([np.asarray(tb.xy) for tb in tables]) if tables else np.zeros((0, 0, 2)),
+        tbl_valid=np.stack([np.asarray(tb.valid) for tb in tables]) if tables else np.zeros((0, 0), bool),
+        tbl_landmark=np.stack([np.asarray(tb.landmark) for tb in tables]) if tables else np.zeros((0, 0), np.int32),
+        tbl_score=np.stack([np.asarray(tb.score) for tb in tables]) if tables else np.zeros((0, 0)),
+    )
+
+
+def load(pipe, path: str | Path) -> None:
+    """Restore a snapshot into an OdometryPipeline (same config/dataset)."""
+    z = np.load(path)
+    if int(z["version"]) != FORMAT_VERSION:
+        raise ValueError(f"checkpoint version {z['version']} != {FORMAT_VERSION}")
+    pipe.init_offset = int(z["init_offset"])
+    pipe.scale = float(z["scale"])
+    pipe.runtime = float(z["runtime"])
+    pipe._key = jnp.asarray(z["key"])
+    pipe.R = [r for r in z["R"]]
+    pipe.t = [t for t in z["t"]]
+    pipe.R_s = [r for r in z["R_s"]]
+    pipe.t_s = [t for t in z["t_s"]]
+    pipe.map = MapState(
+        xyz=jnp.asarray(z["map_xyz"]),
+        alive=jnp.asarray(z["map_alive"]),
+        head=jnp.asarray(z["map_head"]),
+    )
+    pipe.tables = [
+        FeatureTable(
+            xy=jnp.asarray(z["tbl_xy"][i]),
+            valid=jnp.asarray(z["tbl_valid"][i]),
+            landmark=jnp.asarray(z["tbl_landmark"][i]),
+            score=jnp.asarray(z["tbl_score"][i]),
+        )
+        for i in range(z["tbl_xy"].shape[0])
+    ]

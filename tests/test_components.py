@@ -1,0 +1,148 @@
+"""Tests for the alternate frontend components (FAST, kNN matcher), the
+viz layer, and the pose-graph stitcher."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pmv_tpu.core import geometry as geo
+from pmv_tpu.core.state import FeatureTable
+from pmv_tpu.frontend import fast, knn_matcher
+from pmv_tpu.parallel import pose_graph
+from pmv_tpu.viz import render, video
+from tests_helpers_blob import blob_image
+
+
+class TestFAST:
+    def test_detects_bright_corner(self):
+        img = np.zeros((48, 48), np.float32)
+        img[20:28, 20:28] = 200.0  # bright square -> 4 corners
+        xy, score, valid = fast.fast_extract(jnp.asarray(img), max_feats=20)
+        got = np.asarray(xy[np.asarray(valid)])
+        assert len(got) >= 1
+        sq_corners = np.array([[20, 20], [27, 20], [20, 27], [27, 27]])
+        d = np.abs(got[:, None] - sq_corners[None]).max(-1).min()
+        assert d <= 2
+
+    def test_flat_image_no_corners(self):
+        img = jnp.full((32, 32), 80.0)
+        _, _, valid = fast.fast_extract(img, max_feats=10)
+        assert int(valid.sum()) == 0
+
+    def test_scan_order_and_cap(self):
+        img = np.zeros((64, 64), np.float32)
+        img[10:14, 10:14] = 200.0
+        img[40:44, 40:44] = 200.0
+        xy, _, valid = fast.fast_extract(jnp.asarray(img), max_feats=2)
+        got = np.asarray(xy[np.asarray(valid)])
+        assert len(got) == 2
+        # first-in-scan-order semantics: capped selection keeps top rows
+        assert got[:, 1].max() < 20
+
+    def test_threshold(self):
+        img = np.zeros((48, 48), np.float32)
+        img[20:28, 20:28] = 8.0  # below default threshold 10
+        _, _, valid = fast.fast_extract(jnp.asarray(img), max_feats=20, threshold=10.0)
+        assert int(valid.sum()) == 0
+
+
+class TestKNNMatcher:
+    def test_matches_shifted_blobs(self, rng):
+        centers = np.stack(
+            [rng.uniform(20, 100, 10), rng.uniform(20, 100, 10)], -1
+        )
+        shift = np.array([4.0, 2.0])
+        img0 = blob_image((128, 128), centers, sigma=2.0)
+        img1 = blob_image((128, 128), centers + shift, sigma=2.0)
+        table = FeatureTable(
+            xy=jnp.asarray(np.round(centers).astype(np.float32)),
+            valid=jnp.ones(10, bool),
+            landmark=jnp.arange(10, dtype=jnp.int32),
+            score=jnp.ones(10, jnp.float32),
+        )
+        cand = np.round(centers + shift).astype(np.float32)
+        out = knn_matcher.knn_match(
+            jnp.asarray(img0), jnp.asarray(img1), table,
+            jnp.asarray(cand), jnp.ones(10, bool), threshold=5.0,
+        )
+        assert int(out.valid.sum()) == 10
+        np.testing.assert_allclose(np.asarray(out.xy), cand, atol=0.5)
+        # landmarks inherited
+        assert np.asarray(out.landmark).tolist() == list(range(10))
+
+    def test_rejects_bad_match(self, rng):
+        img0 = blob_image((64, 64), [(30, 30)], sigma=2.0)
+        img1 = np.zeros((64, 64), np.float32)  # nothing to match
+        table = FeatureTable(
+            xy=jnp.asarray([[30.0, 30.0]]),
+            valid=jnp.ones(1, bool),
+            landmark=jnp.zeros(1, jnp.int32),
+            score=jnp.ones(1, jnp.float32),
+        )
+        out = knn_matcher.knn_match(
+            jnp.asarray(img0), jnp.asarray(img1), table,
+            jnp.asarray([[10.0, 10.0]]), jnp.ones(1, bool), threshold=0.5,
+        )
+        assert int(out.valid.sum()) == 0
+
+
+class TestViz:
+    def test_map_renders(self):
+        t_est = [np.array([0.0, 0, 0]), np.array([1.0, 0, -1.0])]
+        gt = np.array([[0.0, 0, 0], [1.0, 0, 1.0]])
+        m = render.draw_map(t_est, gt, 0, 5.0, landmarks=np.array([[2.0, 0, -3.0]]))
+        assert m.shape == (511, 511, 3)
+        assert m.sum() > 0  # something drawn
+
+    def test_annotate(self):
+        img = np.zeros((32, 64), np.float32)
+        out = render.annotate_frame(img, np.array([[10.0, 10.0], [50.0, 20.0]]),
+                                    np.array([True, True]))
+        assert out.shape == (32, 64, 3)
+        assert (out[10, 8:13] > 0).any()
+
+    def test_avi_roundtrip_header(self, tmp_path):
+        w = video.AVIWriter(tmp_path / "x.avi", fps=10)
+        for _ in range(3):
+            w.add(np.random.default_rng(0).integers(0, 255, (24, 32), np.uint8))
+        w.close()
+        data = (tmp_path / "x.avi").read_bytes()
+        assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+        assert b"movi" in data and b"00db" in data and b"idx1" in data
+
+
+class TestPoseGraph:
+    def test_chain_recovery(self, rng):
+        # ground-truth chain of 8 poses with yaw + forward motion
+        N = 8
+        Rs, ts = [np.eye(3)], [np.zeros(3)]
+        for i in range(1, N):
+            aa = np.array([0.0, 0.02 * i, 0.0])
+            R_d = np.asarray(geo.rodrigues(jnp.asarray(aa)))
+            t_d = np.array([0.05, 0.0, -1.0])
+            R_new, t_new = geo.compose_delta(
+                jnp.asarray(Rs[-1]), jnp.asarray(ts[-1]), jnp.asarray(R_d), jnp.asarray(t_d)
+            )
+            Rs.append(np.asarray(R_new))
+            ts.append(np.asarray(t_new))
+        Rs, ts = np.stack(Rs), np.stack(ts)
+        # windows of 4 poses overlapping by 2 -> edges
+        windows = [list(range(s, s + 4)) for s in range(0, N - 3, 2)]
+        E_idx, E_R, E_t = pose_graph.window_edges(
+            windows, [Rs[w] for w in windows], [ts[w] for w in windows]
+        )
+        # noisy initialization, node 0 anchored
+        R0 = Rs + rng.normal(0, 0.01, Rs.shape)
+        # re-orthogonalize init
+        U, _, Vt = np.linalg.svd(R0)
+        R0 = U @ Vt
+        t0 = ts + rng.normal(0, 0.2, ts.shape)
+        R0[0], t0[0] = Rs[0], ts[0]
+        anchored = np.zeros(N, bool)
+        anchored[0] = True
+        R_out, t_out = pose_graph.optimize(
+            jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(E_idx),
+            jnp.asarray(E_R), jnp.asarray(E_t),
+            jnp.ones(len(E_idx)), jnp.asarray(anchored), iters=10,
+        )
+        np.testing.assert_allclose(np.asarray(t_out), ts, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(R_out), Rs, atol=1e-5)
