@@ -77,6 +77,7 @@ class VOConfig:
     ransac_pnp_hypos: int = 128    # PnP RANSAC hypotheses (ref: 100 iters)
     ransac_pnp_thresh: float = 8.0  # PnP reprojection threshold, px (EPnPSolver :36)
     ba_window_obs: int = 4096      # max observations per BA window
+    chunk_frames: int = 8          # frames per device dispatch (lax.scan chunk)
     extractor: str = "good"        # good | shi_tomasi | fast
     matcher: str = "lk"            # lk | knn
     dtype: str = "float32"

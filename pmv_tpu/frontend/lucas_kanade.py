@@ -1,16 +1,23 @@
-"""Batched pyramidal Lucas-Kanade sparse optical flow (XLA implementation).
+"""Batched pyramidal Lucas-Kanade sparse optical flow — TPU-shaped XLA.
 
 TPU-native rewrite of the reference's tracker call
 ``cv::calcOpticalFlowPyrLK(prev, next, pts, ..., Size(32, 32), 4)``
-(OpenCVLucasKanadeFM.cpp:15): all N features are tracked simultaneously as a
-single batched computation — per-feature windows become (N, win, win) tensors
-sampled bilinearly, the 2x2 normal systems are solved in closed form, and the
-level/iteration loops are static (lax.fori_loop) so the whole tracker is one
-fused XLA program. A Pallas kernel variant lives in
-``pmv_tpu.frontend.pallas_kernels``.
+(OpenCVLucasKanadeFM.cpp:15). The formulation is chosen for the TPU memory
+system: pointwise gathers are catastrophic there, so the tracker never
+gathers individual pixels. Instead:
 
-Convention: feature positions are (u=column, v=row) float32 pixels, matching
-the reference's Feature(column, row).
+- every feature's *search region* is loaded once per pyramid level as a
+  contiguous block (one vmapped ``lax.dynamic_slice`` -> block gather);
+- bilinear sampling exploits the fact that all pixels of an LK window share
+  ONE fractional offset: a subpixel window is a weighted sum of 4 integer-
+  shifted dense sub-windows — pure VPU math, no gathers;
+- the iteration loop only re-slices (win+1, win+1) sub-blocks from the
+  per-feature VMEM-resident search regions.
+
+A Pallas kernel variant with explicit DMA double-buffering lives in
+``pmv_tpu.frontend.pallas_kernels``; this module is the portable XLA path.
+
+Convention: feature positions are (u=column, v=row) float32 pixels.
 """
 
 from __future__ import annotations
@@ -23,11 +30,8 @@ from jax import lax
 
 
 def bilinear_sample(img: jax.Array, y: jax.Array, x: jax.Array) -> jax.Array:
-    """Bilinear sample ``img`` (H, W) at float coords (broadcast shapes).
-
-    Coordinates are clamped to the valid interior, so out-of-bounds samples
-    replicate the border (callers mask by in-bounds status separately).
-    """
+    """Pointwise bilinear sampling (kept for small-N utility uses — the
+    tracker itself uses the block formulation below)."""
     H, W = img.shape
     x = jnp.clip(x, 0.0, W - 1.000001)
     y = jnp.clip(y, 0.0, H - 1.000001)
@@ -49,17 +53,67 @@ def bilinear_sample(img: jax.Array, y: jax.Array, x: jax.Array) -> jax.Array:
     )
 
 
-def _patch_coords(center: jax.Array, win: int) -> tuple[jax.Array, jax.Array]:
-    """(N, 2) centers -> (N, win, win) y/x sample coordinates."""
-    off = jnp.arange(win, dtype=center.dtype) - (win - 1) / 2.0
-    yy = center[:, 1, None, None] + off[None, :, None]
-    xx = center[:, 0, None, None] + off[None, None, :]
-    return jnp.broadcast_to(yy, (center.shape[0], win, win)), jnp.broadcast_to(
-        xx, (center.shape[0], win, win)
+def _slice_blocks(img: jax.Array, r0: jax.Array, c0: jax.Array, size: int) -> jax.Array:
+    """(N,) integer top-left corners -> (N, size, size) blocks.
+    lax.dynamic_slice clamps starts so the slice stays in bounds."""
+    return jax.vmap(
+        lambda r, c: lax.dynamic_slice(img, (r, c), (size, size))
+    )(r0, c0)
+
+
+def _frac_shift(base: jax.Array, dr: jax.Array, dc: jax.Array) -> jax.Array:
+    """Subpixel window from an integer base block: (N, S, S) + per-feature
+    fractional offsets (dr, dc) in [0, 1) -> (N, S-1, S-1) bilinear windows,
+    as a weighted sum of the 4 integer-shifted dense sub-blocks."""
+    w00 = (1 - dr) * (1 - dc)
+    w01 = (1 - dr) * dc
+    w10 = dr * (1 - dc)
+    w11 = dr * dc
+    return (
+        w00[:, None, None] * base[:, :-1, :-1]
+        + w01[:, None, None] * base[:, :-1, 1:]
+        + w10[:, None, None] * base[:, 1:, :-1]
+        + w11[:, None, None] * base[:, 1:, 1:]
     )
 
 
-@functools.partial(jax.jit, static_argnames=("win", "iters"))
+def _tap_matrix(start: jax.Array, out_size: int, in_size: int) -> jax.Array:
+    """Per-feature separable bilinear sampling matrix.
+
+    ``start`` (N,) float local coordinates; returns (N, out_size, in_size)
+    with row i carrying the two-tap bilinear weights for position
+    ``start + i``. Bilinear interpolation is separable, so a subpixel
+    (out, out) window of a region is ``T_row @ region @ T_col^T`` — pure
+    batched MXU matmuls, which on TPU beat any gather formulation.
+    """
+    i0 = jnp.floor(start)
+    fr = (start - i0)[:, None, None]
+    pos = i0[:, None, None] + jax.lax.broadcasted_iota(
+        start.dtype, (1, out_size, 1), 1
+    )
+    r_idx = jax.lax.broadcasted_iota(start.dtype, (1, 1, in_size), 2)
+    return (r_idx == pos) * (1 - fr) + (r_idx == pos + 1) * fr
+
+
+def _sample_window(region: jax.Array, lr: jax.Array, lc: jax.Array, win: int) -> jax.Array:
+    """Bilinear (N, win, win) windows from (N, Rg, Rg) regions at per-feature
+    float top-left (lr, lc) — two batched matmuls, no gathers."""
+    Rg = region.shape[-1]
+    Tr = _tap_matrix(lr, win, Rg)  # (N, win, Rg)
+    Tc = _tap_matrix(lc, win, Rg)  # (N, win, Rg)
+    # HIGHEST precision: the default bf16 MXU pass quantizes the fractional
+    # tap weights (~0.4%), which is fatal for subpixel tracking.
+    tmp = jnp.einsum(
+        "nwr,nrc->nwc", Tr, region,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.einsum(
+        "nwc,nvc->nwv", tmp, Tc,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("win", "iters", "search"))
 def _track_level(
     prev_img: jax.Array,
     next_img: jax.Array,
@@ -67,26 +121,66 @@ def _track_level(
     guess: jax.Array,
     win: int,
     iters: int,
+    search: int,
 ) -> tuple[jax.Array, jax.Array]:
     """One pyramid level of LK. Returns (new guess (N, 2), min_eig (N,))."""
-    gy, gx = jnp.gradient(prev_img)
-    yy, xx = _patch_coords(pts_level, win)
-    T = bilinear_sample(prev_img, yy, xx)
-    Ix = bilinear_sample(gx, yy, xx)
-    Iy = bilinear_sample(gy, yy, xx)
+    # Pad all sides so every slice window fits regardless of feature position
+    # (border behavior = edge replication, like the old clip-based sampler);
+    # pixel coordinates shift by PAD.
+    PAD = win + search + 3
+    prev_img = jnp.pad(prev_img, PAD, mode="edge")
+    next_img = jnp.pad(next_img, PAD, mode="edge")
+    H, W = prev_img.shape
+    half = (win - 1) / 2.0
+
+    # --- template: fractional (win+2, win+2) window around pts, then T and
+    # central-difference gradients (all dense) ---
+    TS = win + 4  # template block: win+2 sampled window + 2-tap margin
+    tl_r = pts_level[:, 1] + PAD - half - 1.0
+    tl_c = pts_level[:, 0] + PAD - half - 1.0
+    tr0 = jnp.clip(jnp.floor(tl_r), 0, H - TS)
+    tc0 = jnp.clip(jnp.floor(tl_c), 0, W - TS)
+    base = _slice_blocks(prev_img, tr0.astype(jnp.int32), tc0.astype(jnp.int32), TS)
+    F = _sample_window(
+        base,
+        jnp.clip(tl_r - tr0, 0.0, 1.0),
+        jnp.clip(tl_c - tc0, 0.0, 1.0),
+        win + 2,
+    )  # (N, win+2, win+2)
+    T = F[:, 1:-1, 1:-1]
+    Ix = (F[:, 1:-1, 2:] - F[:, 1:-1, :-2]) * 0.5
+    Iy = (F[:, 2:, 1:-1] - F[:, :-2, 1:-1]) * 0.5
+
     Gxx = jnp.sum(Ix * Ix, axis=(1, 2))
     Gxy = jnp.sum(Ix * Iy, axis=(1, 2))
     Gyy = jnp.sum(Iy * Iy, axis=(1, 2))
     det = Gxx * Gyy - Gxy * Gxy
-    # min eigenvalue of G / window area — OpenCV's trackability measure
     mean = (Gxx + Gyy) * 0.5
     rad = jnp.sqrt(jnp.maximum(((Gxx - Gyy) * 0.5) ** 2 + Gxy * Gxy, 0.0))
     min_eig = (mean - rad) / (win * win)
     inv_det = jnp.where(det > 1e-6, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
 
+    # --- search region in next image, loaded ONCE per level ---
+    Rg = win + 2 * search + 2
+    reg_r0 = jnp.clip(
+        jnp.floor(guess[:, 1] + PAD - half).astype(jnp.int32) - search - 1,
+        0,
+        max(H - Rg, 0),
+    )
+    reg_c0 = jnp.clip(
+        jnp.floor(guess[:, 0] + PAD - half).astype(jnp.int32) - search - 1,
+        0,
+        max(W - Rg, 0),
+    )
+    region = _slice_blocks(next_img, reg_r0, reg_c0, Rg)  # (N, Rg, Rg)
+
     def body(_, g):
-        ny, nx = _patch_coords(g, win)
-        I = bilinear_sample(next_img, ny, nx)
+        # local float top-left of the (win, win) sample window inside region
+        lr = g[:, 1] + PAD - half - reg_r0
+        lc = g[:, 0] + PAD - half - reg_c0
+        lr = jnp.clip(lr, 0.0, Rg - win - 1.000001)
+        lc = jnp.clip(lc, 0.0, Rg - win - 1.000001)
+        I = _sample_window(region, lr, lc, win)  # (N, win, win)
         r = T - I
         bx = jnp.sum(r * Ix, axis=(1, 2))
         by = jnp.sum(r * Iy, axis=(1, 2))
@@ -106,16 +200,20 @@ def track(
     win: int = 32,
     iters: int = 10,
     min_eig_threshold: float = 1e-4,
+    search: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Track (N, 2) points from prev to next through the pyramids.
 
     Returns (new_pts (N, 2), status (N,) bool). Status clears when the point
-    leaves the image, the normal matrix is degenerate (untextured window), or
-    the input slot was invalid — the mask-based equivalent of OpenCV's
-    status output consumed at OpenCVLucasKanadeFM.cpp:21-30.
+    leaves the image, drifts outside its per-level search region, or the
+    normal matrix is degenerate (untextured window) — the mask-based
+    equivalent of OpenCV's status output consumed at
+    OpenCVLucasKanadeFM.cpp:21-30.
     """
     levels = len(prev_pyr)
     H, W = prev_pyr[0].shape
+    if search is None:
+        search = max(4, win // 2)
     scale_top = 2.0 ** (levels - 1)
     guess = pts / scale_top
     min_eig0 = jnp.zeros(pts.shape[0], pts.dtype)
@@ -123,7 +221,7 @@ def track(
         s = 2.0**lvl
         pts_l = pts / s
         guess, min_eig0 = _track_level(
-            prev_pyr[lvl], next_pyr[lvl], pts_l, guess, win, iters
+            prev_pyr[lvl], next_pyr[lvl], pts_l, guess, win, iters, search
         )
         if lvl > 0:
             guess = guess * 2.0

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from pmv_tpu.ba import schur_lm
+from pmv_tpu.core import geometry as geo
 from pmv_tpu.core.state import FeatureTable, MapState
 from pmv_tpu.frontend.image import build_pyramid
 from pmv_tpu.pipeline import steps
@@ -46,10 +48,18 @@ class StepConfig(NamedTuple):
     e_thresh: float = 1.0
     pnp_hypos: int = 128
     pnp_thresh: float = 8.0
+    bundle_size: int = 5
+    ba_iters: int = 5
+    traj_cap: int = 1024  # device trajectory capacity (frames)
 
 
 class StepState(NamedTuple):
-    """Device-resident state threaded through frames."""
+    """Device-resident state threaded through frames.
+
+    Nothing here is fetched to the host in the steady-state loop — the
+    trajectory history and the BA window ring live on device so the whole
+    run is a chain of dispatches with one final readback.
+    """
 
     pyr: tuple  # image pyramid of the current frame
     table: FeatureTable
@@ -59,6 +69,41 @@ class StepState(NamedTuple):
     R_s: jax.Array  # (3, 3) last accepted delta
     t_s: jax.Array  # (3,)
     scale: jax.Array  # () GT-derived step scale
+    k: jax.Array  # () i32 — current frame index
+    R_hist: jax.Array  # (T, 3, 3) trajectory history
+    t_hist: jax.Array  # (T, 3)
+    win_xy: jax.Array  # (P, N, 2) BA window feature ring (slot = frame % P)
+    win_valid: jax.Array  # (P, N)
+    win_lm: jax.Array  # (P, N)
+
+
+def init_state(
+    pyr: tuple,
+    table: FeatureTable,
+    map_state: MapState,
+    cfg: StepConfig,
+) -> StepState:
+    """Fresh state at frame 0."""
+    P = cfg.bundle_size if cfg.bundle_size > 0 else 1
+    N = table.capacity
+    eye = jnp.eye(3, dtype=jnp.float32)
+    T = cfg.traj_cap
+    return StepState(
+        pyr=pyr,
+        table=table,
+        map=map_state,
+        R=eye,
+        t=jnp.zeros(3, jnp.float32),
+        R_s=eye,
+        t_s=jnp.zeros(3, jnp.float32),
+        scale=jnp.float32(1.0),
+        k=jnp.int32(0),
+        R_hist=jnp.broadcast_to(eye, (T, 3, 3)).copy(),
+        t_hist=jnp.zeros((T, 3), jnp.float32),
+        win_xy=jnp.zeros((P, N, 2), jnp.float32).at[0].set(table.xy),
+        win_valid=jnp.zeros((P, N), jnp.bool_).at[0].set(table.valid),
+        win_lm=jnp.full((P, N), -1, jnp.int32).at[0].set(table.landmark),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -134,6 +179,18 @@ def frame_step(
         R_d, t_d, state.R, state.t, state.R_s, state.t_s, scale
     )
 
+    k_new = state.k + 1
+    P = state.win_xy.shape[0]
+    slot_src = state.k % P
+    slot_new = k_new % P
+    win_xy = state.win_xy.at[slot_src].set(src_table.xy).at[slot_new].set(next_table.xy)
+    win_valid = (
+        state.win_valid.at[slot_src].set(src_table.valid).at[slot_new].set(next_table.valid)
+    )
+    win_lm = (
+        state.win_lm.at[slot_src].set(src_table.landmark).at[slot_new].set(next_table.landmark)
+    )
+
     new_state = StepState(
         pyr=next_pyr,
         table=next_table,
@@ -143,6 +200,12 @@ def frame_step(
         R_s=R_s_new,
         t_s=t_s_new,
         scale=scale,
+        k=k_new,
+        R_hist=state.R_hist.at[k_new].set(R_new),
+        t_hist=state.t_hist.at[k_new].set(t_new),
+        win_xy=win_xy,
+        win_valid=win_valid,
+        win_lm=win_lm,
     )
     stats = {
         "tracked": tracked,
@@ -152,3 +215,90 @@ def frame_step(
         "used_pnp": n3d >= cfg.tracked_tol,
     }
     return new_state, src_table, stats
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def chunk_step(
+    state: StepState,
+    imgs_u8: jax.Array,  # (C, H, W) uint8
+    gt_steps: jax.Array,  # (C,)
+    keys: jax.Array,  # (C, 2) uint32
+    K: jax.Array,
+    cfg: StepConfig,
+):
+    """Process C frames in ONE dispatch (lax.scan over frame_step +
+    cadenced ba_step).
+
+    The tunneled single-chip environment pays ~15-90 ms per dispatch/upload
+    regardless of size; scanning C frames per call amortizes that to
+    ~overhead/C. Frames are shipped uint8 (4x less transfer than f32) and
+    converted on device. Returns (state, per-frame stats pytree (C, ...)).
+    """
+    cadence = max(1, cfg.bundle_size // 3 * 2)
+
+    def body(s, xs):
+        img_u8, gt, key = xs
+        s, _, stats = frame_step(s, img_u8.astype(jnp.float32), gt, key, K, cfg)
+        j = s.k - 1
+        do_ba = (cfg.bundle_size > 0) & (j > 0) & (j % cadence == 0)
+        s = lax.cond(do_ba, lambda ss: ba_step(ss, K, cfg), lambda ss: ss, s)
+        return s, stats
+
+    return lax.scan(body, state, (imgs_u8, gt_steps, keys))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def ba_step(state: StepState, K: jax.Array, cfg: StepConfig) -> StepState:
+    """Device-resident sliding-window BA: state -> state, zero host traffic.
+
+    Window semantics match CeresBundleAdjustment.cpp:5-8: after processing
+    frame k, the window is the last ``bundle_size`` frames [k-P+1, k]
+    (global frame 0 held fixed). The feature-table ring in the state holds
+    exactly those frames; poses come from the device trajectory history and
+    are written back in place.
+    """
+    P = cfg.bundle_size
+    T = cfg.traj_cap
+    fn = state.k + 1
+    f_ids = fn - P + jnp.arange(P)  # window frame indices (may be < 0 early)
+    present = f_ids >= 0
+    f_safe = jnp.clip(f_ids, 0)
+    slots = f_safe % P
+
+    xy = state.win_xy[slots]
+    valid = state.win_valid[slots] & present[:, None]
+    lm = state.win_lm[slots]
+    obs_uv, obs_pose, obs_lm, obs_mask = steps.assemble_ba_window(
+        xy, valid, lm, state.map
+    )
+    tr = geo.pose_to_ba_params(state.R_hist[f_safe], state.t_hist[f_safe])
+    pose_free = f_ids >= 1
+
+    prob = schur_lm.BAProblem(
+        tr=tr,
+        lm=state.map.xyz,
+        obs_uv=obs_uv,
+        obs_pose=obs_pose,
+        obs_lm=obs_lm,
+        obs_mask=obs_mask,
+        pose_free=pose_free,
+        K=K,
+    )
+    tr_out, lm_out, _ = schur_lm.ba_solve(prob, iters=cfg.ba_iters)
+    R_new, t_new = geo.ba_params_to_pose(tr_out)
+
+    # Scatter back only the free poses (pad-row trick avoids duplicate-index
+    # clobbering from the clipped early-window ids).
+    idx = jnp.where(pose_free, f_ids, T).astype(jnp.int32)
+    R_hist = jnp.concatenate([state.R_hist, jnp.zeros((1, 3, 3), jnp.float32)])
+    R_hist = R_hist.at[idx].set(R_new)[:T]
+    t_hist = jnp.concatenate([state.t_hist, jnp.zeros((1, 3), jnp.float32)])
+    t_hist = t_hist.at[idx].set(t_new)[:T]
+
+    return state._replace(
+        map=state.map._replace(xyz=lm_out),
+        R_hist=R_hist,
+        t_hist=t_hist,
+        R=R_hist[state.k],
+        t=t_hist[state.k],
+    )

@@ -370,60 +370,84 @@ class OdometryPipeline:
             pnp_hypos=cfg.ransac_pnp_hypos,
             pnp_thresh=cfg.ransac_pnp_thresh,
         )
-        state = fused.StepState(
+        step_cfg = step_cfg._replace(
+            bundle_size=max(cfg.bundle_size, 1),
+            ba_iters=cfg.max_iterations,
+            traj_cap=max(cfg.frames + 2, 16),
+        )
+        state = fused.init_state(
             pyr=tuple(build_pyramid(jnp.asarray(img0), cfg.lk_levels)),
             table=self.tables[0],
-            map=self.map,
-            R=jnp.eye(3, dtype=jnp.float32),
-            t=jnp.zeros(3, jnp.float32),
-            R_s=jnp.eye(3, dtype=jnp.float32),
-            t_s=jnp.zeros(3, jnp.float32),
-            scale=jnp.float32(self.scale),
+            map_state=self.map,
+            cfg=step_cfg,
         )
 
         self._watch.tick()
         start = self.init_offset + 1
         stop = min(cfg.frames, len(self.file_names))
         paths = self.file_names[start:stop]
+        # Pre-split all RANSAC keys once and keep them host-side: per-frame
+        # jax.random calls would each cost a device dispatch.
+        keys = np.asarray(jax.random.split(self._key, max(len(paths), 1)))
+        C = max(1, cfg.chunk_frames)
+        k_last = 0
+        buf_img: list[np.ndarray] = []
+        buf_gt: list[np.float32] = []
+        buf_key: list[np.ndarray] = []
+
+        def flush(state, size):
+            nonlocal buf_img, buf_gt, buf_key
+            while buf_img:
+                take = size if len(buf_img) >= size else 1
+                imgs = np.stack(buf_img[:take]).astype(np.uint8)
+                state, stats = fused.chunk_step(
+                    state,
+                    imgs,
+                    np.asarray(buf_gt[:take], np.float32),
+                    np.stack(buf_key[:take]),
+                    self.K,
+                    step_cfg,
+                )
+                if self.cfg.verbose:
+                    s = jax.device_get(stats)
+                    for i in range(take):
+                        self._log(
+                            f"frame: tracked {int(s['tracked'][i])}, "
+                            f"n3d {int(s['n3d'][i])}, "
+                            f"{'pnp' if bool(s['used_pnp'][i]) else 'tri'}, "
+                            f"inliers {int(s['inliers'][i])}, "
+                            f"accepted {bool(s['accepted'][i])}"
+                        )
+                buf_img = buf_img[take:]
+                buf_gt = buf_gt[take:]
+                buf_key = buf_key[take:]
+            self.tables.append(state.table)
+            return state
+
         for _, img in FramePrefetcher(paths):
-            k = len(self.tables)  # index of the incoming frame
-            j = k - 1
-            g = j + self.init_offset
+            k = k_last + 1
+            g = k - 1 + self.init_offset
             if g + 1 >= len(self.gt_t):
                 break
-            gt_step = jnp.float32(np.linalg.norm(self.gt_t[g + 1] - self.gt_t[g]))
-            state, src_table, stats = fused.frame_step(
-                state, jnp.asarray(img, jnp.float32), gt_step, self._next_key(),
-                self.K, step_cfg,
-            )
-            self.tables[j] = src_table
-            self.tables.append(state.table)
-            R_np, t_np, Rs_np, ts_np = jax.device_get(
-                (state.R, state.t, state.R_s, state.t_s)
-            )
-            self.R.append(np.asarray(R_np, np.float64))
-            self.t.append(np.asarray(t_np, np.float64))
-            self.R_s.append(np.asarray(Rs_np, np.float64))
-            self.t_s.append(np.asarray(ts_np, np.float64))
-            if self.cfg.verbose:
-                s = jax.device_get(stats)
-                self._log(
-                    f"frame {j}: tracked {int(s['tracked'])}, n3d {int(s['n3d'])}, "
-                    f"{'pnp' if bool(s['used_pnp']) else 'tri'}, "
-                    f"inliers {int(s['inliers'])}, accepted {bool(s['accepted'])}"
-                )
-            if cfg.bundle_size and j and j % self._ba_cadence == 0:
-                self.map = state.map
-                self.bundle_adjust(k)
-                state = state._replace(
-                    map=self.map,
-                    R=jnp.asarray(self.R[k], jnp.float32),
-                    t=jnp.asarray(self.t[k], jnp.float32),
-                )
+            buf_img.append(img)
+            buf_gt.append(np.float32(np.linalg.norm(self.gt_t[g + 1] - self.gt_t[g])))
+            buf_key.append(keys[min(k - 1, len(keys) - 1)])
+            k_last = k
+            if len(buf_img) == C:
+                state = flush(state, C)
+        if buf_img:
+            state = flush(state, C)
+        # One readback for the whole run.
         self.map = state.map
-        jax.block_until_ready(self.map.xyz)
+        R_hist, t_hist, Rs_f, ts_f, scale_f = jax.device_get(
+            (state.R_hist, state.t_hist, state.R_s, state.t_s, state.scale)
+        )
         self.runtime = self._watch.tock()
-        self.scale = float(state.scale)
+        self.R = [np.asarray(R_hist[i], np.float64) for i in range(k_last + 1)]
+        self.t = [np.asarray(t_hist[i], np.float64) for i in range(k_last + 1)]
+        self.R_s = [np.asarray(Rs_f, np.float64)]
+        self.t_s = [np.asarray(ts_f, np.float64)]
+        self.scale = float(scale_f)
         return self._finish()
 
     def run_modular(self) -> dict:
