@@ -83,6 +83,22 @@ class VOConfig:
     dtype: str = "float32"
     seed: int = 0
 
+    def extractor_preset(self) -> dict:
+        """Per-extractor response/quality defaults, mirroring the reference
+        module constants: goodFeaturesToTrack quality .01 / min-dist 5
+        (include/OpenCVGoodFeatureExtractor.h:9-11), Shi-Tomasi quality .4,
+        no spreading (include/ShiTomasiFeatureExtractor.h:10), FAST threshold
+        10 with 3x3 non-max (include/OpenCVFASTFeatureExtractor.h:10-11)."""
+        if self.extractor == "shi_tomasi":
+            return {"response": "min_eig", "quality": 0.4, "min_distance": 1}
+        if self.extractor == "fast":
+            return {"response": "fast", "quality": 0.0, "min_distance": 1}
+        return {
+            "response": "min_eig",
+            "quality": self.quality_level,
+            "min_distance": self.min_distance,
+        }
+
     @classmethod
     def from_ini(cls, path: str | Path) -> "VOConfig":
         cfg = parse_ini(path)

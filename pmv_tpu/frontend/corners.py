@@ -69,8 +69,16 @@ def grid_extract(
             resp = pallas_kernels.min_eig_response(img)
         else:
             resp = min_eig_response(img)
+    elif response == "min_eig_xla":
+        # Plain XLA response — needed where pallas_call cannot be used
+        # (e.g. under vmap in the batched multi-sequence path).
+        resp = min_eig_response(img)
     elif response == "harris":
         resp = harris_response(img)
+    elif response == "fast":
+        from pmv_tpu.frontend.fast import fast_response
+
+        resp = fast_response(img, threshold=10.0)
     else:
         raise ValueError(f"unknown response {response!r}")
 

@@ -1,1 +1,1 @@
-from pmv_tpu.parallel import dist_ba, mesh  # noqa: F401
+from pmv_tpu.parallel import dist_ba, global_refine, mesh, multi_seq, pose_graph  # noqa: F401

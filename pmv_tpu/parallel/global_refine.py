@@ -1,0 +1,180 @@
+"""Global trajectory refinement: distributed multi-window BA + pose-graph
+stitching.
+
+The "north star" decomposition (BASELINE.json): a long trajectory is split
+into overlapping keyframe windows; all windows are bundle-adjusted
+simultaneously on a (dp, lm) mesh (windows over dp, landmark blocks over lm,
+reduced camera systems psum-reduced over ICI); window estimates are then
+reconciled into one consistent trajectory by the pose-graph layer. The
+reference has no counterpart — it only ever runs one sequential sliding
+window (CeresBundleAdjustment.cpp) — so this layer is what turns windowed VO
+into a scalable offline refinement.
+
+Landmarks are intentionally duplicated per window (each window refines its
+own copy); the stitched output is the pose trajectory, which is what the
+error metrics consume. Requires per-frame feature tables
+(run with ``chunk_frames=1`` or ``run_modular()``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from pmv_tpu.core import geometry as geo
+from pmv_tpu.parallel import dist_ba, pose_graph
+
+
+def build_window_problems(pipe, window: int = 8, overlap: int = 2):
+    """Slice a finished pipeline run into overlapping BA windows.
+
+    Returns (frame_ranges, tr (D, P, 6), lm_copies (D, L, 3), obs arrays,
+    pose_free (D, P)) as numpy, one row per window.
+    """
+    n = len(pipe.t)
+    step = max(1, window - overlap)
+    starts = list(range(0, max(1, n - window + 1), step))
+    if starts and starts[-1] + window < n:
+        starts.append(n - window)
+    ranges = [list(range(s, min(s + window, n))) for s in starts]
+    P = window
+    map_xyz = np.asarray(pipe.map.xyz)
+    map_alive = np.asarray(pipe.map.alive)
+    L = map_xyz.shape[0]
+
+    tr_list, obs_list, free_list = [], [], []
+    for frames in ranges:
+        tr = np.zeros((P, 6), np.float32)
+        free = np.zeros(P, bool)
+        obs_uv, obs_pose, obs_lm = [], [], []
+        for i, f in enumerate(frames):
+            tr[i] = np.asarray(
+                geo.pose_to_ba_params(
+                    jnp.asarray(pipe.R[f], jnp.float32),
+                    jnp.asarray(pipe.t[f], jnp.float32),
+                )
+            )
+            # Pin the first two poses of each window: fixes the 6-DOF gauge
+            # and the monocular scale within the window.
+            free[i] = i >= 2 and f != 0
+            tbl = pipe.tables[f]
+            xy = np.asarray(tbl.xy)
+            valid = np.asarray(tbl.valid)
+            lm = np.asarray(tbl.landmark)
+            ok = valid & (lm >= 0)
+            ok[ok] &= map_alive[lm[ok]]
+            obs_uv.append(xy[ok])
+            obs_pose.append(np.full(ok.sum(), i, np.int32))
+            obs_lm.append(lm[ok].astype(np.int32))
+        tr_list.append(tr)
+        free_list.append(free)
+        obs_list.append(
+            (
+                np.concatenate(obs_uv).astype(np.float32),
+                np.concatenate(obs_pose),
+                np.concatenate(obs_lm),
+            )
+        )
+    return ranges, tr_list, free_list, obs_list, map_xyz, L
+
+
+def global_bundle_adjust(
+    pipe,
+    mesh: Mesh,
+    window: int = 8,
+    overlap: int = 2,
+    iters: int = 5,
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Refine the whole trajectory with mesh-parallel windowed BA + pose
+    graph. Returns (R_list, t_list); also updates pipe.R / pipe.t."""
+    n_lm_shards = mesh.shape["lm"]
+    dp = mesh.shape["dp"]
+    ranges, tr_list, free_list, obs_list, map_xyz, L = build_window_problems(
+        pipe, window, overlap
+    )
+    D = len(ranges)
+
+    # Partition each window's observations by landmark shard; align O_s.
+    parts = []
+    for obs_uv, obs_pose, obs_lm in obs_list:
+        mask = np.ones(len(obs_uv), bool)
+        parts.append(
+            dist_ba.partition_obs_by_landmark(
+                obs_uv, obs_pose, obs_lm, mask, L, n_lm_shards
+            )
+        )
+    O_s = max(p[4] for p in parts)
+    Ls = parts[0][5]
+    L_pad = Ls * n_lm_shards
+
+    def repad(p):
+        uv, pose, lml, msk, o_s, _ = p
+        uv = uv.reshape(n_lm_shards, o_s, 2)
+        pose = pose.reshape(n_lm_shards, o_s)
+        lml = lml.reshape(n_lm_shards, o_s)
+        msk = msk.reshape(n_lm_shards, o_s)
+        pad = O_s - o_s
+        if pad:
+            uv = np.pad(uv, ((0, 0), (0, pad), (0, 0)))
+            pose = np.pad(pose, ((0, 0), (0, pad)))
+            lml = np.pad(lml, ((0, 0), (0, pad)))
+            msk = np.pad(msk, ((0, 0), (0, pad)))
+        return uv.reshape(-1, 2), pose.reshape(-1), lml.reshape(-1), msk.reshape(-1)
+
+    lm_pad = np.zeros((L_pad, 3), np.float32)
+    lm_pad[:L] = map_xyz
+
+    solver = dist_ba.make_distributed_ba(mesh, iters=iters)
+    window_R: list[np.ndarray] = [None] * D
+    window_t: list[np.ndarray] = [None] * D
+
+    # Process D windows in dp-sized batches (pad the last batch by repeats).
+    for b0 in range(0, D, dp):
+        idx = list(range(b0, min(b0 + dp, D)))
+        while len(idx) < dp:
+            idx.append(idx[-1])
+        rep = [repad(parts[i]) for i in idx]
+        tr_out, _, _, _ = solver(
+            jnp.stack([jnp.asarray(tr_list[i]) for i in idx]),
+            jnp.stack([jnp.asarray(lm_pad)] * dp),
+            jnp.stack([jnp.asarray(r[0]) for r in rep]),
+            jnp.stack([jnp.asarray(r[1], dtype=jnp.int32) for r in rep]),
+            jnp.stack([jnp.asarray(r[2], dtype=jnp.int32) for r in rep]),
+            jnp.stack([jnp.asarray(r[3]) for r in rep]),
+            jnp.stack([jnp.asarray(free_list[i]) for i in idx]),
+            jnp.asarray(np.asarray(pipe.K), jnp.float32),
+        )
+        tr_np = np.asarray(tr_out)
+        for slot, i in enumerate(idx[: len(set(idx))]):
+            if window_R[i] is None:
+                R_w, t_w = geo.ba_params_to_pose(jnp.asarray(tr_np[slot]))
+                window_R[i] = np.asarray(R_w)
+                window_t[i] = np.asarray(t_w)
+
+    # Pose-graph stitch: edges from every window's consecutive pairs.
+    E_idx, E_R, E_t = pose_graph.window_edges(
+        [r for r in ranges],
+        [window_R[i][: len(ranges[i])] for i in range(D)],
+        [window_t[i][: len(ranges[i])] for i in range(D)],
+    )
+    n = len(pipe.t)
+    anchored = np.zeros(n, bool)
+    anchored[0] = True
+    R0 = np.stack(pipe.R).astype(np.float64)
+    t0 = np.stack(pipe.t).astype(np.float64)
+    R_out, t_out = pose_graph.optimize(
+        jnp.asarray(R0),
+        jnp.asarray(t0),
+        jnp.asarray(E_idx),
+        jnp.asarray(E_R.astype(np.float64)),
+        jnp.asarray(E_t.astype(np.float64)),
+        jnp.ones(len(E_idx)),
+        jnp.asarray(anchored),
+        iters=10,
+    )
+    pipe.R = [np.asarray(R_out[i]) for i in range(n)]
+    pipe.t = [np.asarray(t_out[i]) for i in range(n)]
+    return pipe.R, pipe.t

@@ -1,0 +1,57 @@
+"""Data-parallel multi-sequence visual odometry.
+
+The reference is inherently single-sequence, single-process. For production
+throughput (BASELINE.json configs: "frames/s scaling sweep"), independent
+sequences — or independent chunks of one long sequence — are tracked
+simultaneously: the fused per-frame step is vmapped over a batch dimension
+and the batch is sharded over the mesh's ``dp`` axis, so each chip runs the
+full VO step for its own sequences with zero cross-chip communication.
+
+Note: under vmap, ``lax.cond`` branches become ``select`` (both branches
+execute), and the Pallas corner kernel is replaced by the XLA response
+(``response="min_eig_xla"``); per-sequence cost is therefore the steady-state
+PnP cost plus the bootstrap cost. This is the throughput-optimal regime when
+the batch is large.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pmv_tpu.pipeline import fused
+
+
+def batch_states(states: list[fused.StepState]) -> fused.StepState:
+    """Stack per-sequence StepStates into one batched state."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+
+def make_batched_chunk_step(mesh: Mesh | None, cfg: fused.StepConfig):
+    """Build a jitted batched chunk step.
+
+    Signature: (state (B, ...), imgs_u8 (B, C, H, W), gt_steps (B, C),
+    keys (B, C, 2), K (3, 3)) -> (state, stats). With a mesh, the batch
+    dimension is sharded over the 'dp' axis.
+    """
+    if cfg.response == "min_eig":
+        cfg = cfg._replace(response="min_eig_xla")
+
+    def one(state, imgs, gts, keys, K):
+        return fused.chunk_step(state, imgs, gts, keys, K, cfg)
+
+    batched = jax.vmap(one, in_axes=(0, 0, 0, 0, None))
+    if mesh is None:
+        return jax.jit(batched)
+    dp = NamedSharding(mesh, P("dp"))
+    rep = NamedSharding(mesh, P())
+    # A single sharding per argument acts as a pytree prefix: every leaf of
+    # the batched StepState is sharded along its leading (batch) axis.
+    return jax.jit(
+        batched,
+        in_shardings=(dp, dp, dp, dp, rep),
+        out_shardings=(dp, dp),
+    )

@@ -48,6 +48,7 @@ class StepConfig(NamedTuple):
     e_thresh: float = 1.0
     pnp_hypos: int = 128
     pnp_thresh: float = 8.0
+    response: str = "min_eig"  # corner response (extractor preset)
     bundle_size: int = 5
     ba_iters: int = 5
     traj_cap: int = 1024  # device trajectory capacity (frames)
@@ -135,6 +136,7 @@ def frame_step(
             tbl, next_pyr[0], cfg.n_per_tile,
             tile_h=cfg.tile_h, tile_w=cfg.tile_w,
             quality=cfg.quality, min_distance=cfg.min_distance,
+            response=cfg.response,
         )
 
     next_table = lax.cond(

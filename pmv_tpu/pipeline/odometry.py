@@ -101,13 +101,13 @@ class OdometryPipeline:
         for i, img in enumerate(images):
             n_tiles = self._n_tiles(img.shape)
             n_per_tile = max(1, cfg.min_tracked_features // n_tiles)
+            preset = cfg.extractor_preset()
             xy, score, valid = corners.grid_extract(
                 jnp.asarray(img),
                 n_per_tile,
                 tile_h=cfg.grid_rows,
                 tile_w=cfg.grid_cols,
-                quality=cfg.quality_level,
-                min_distance=cfg.min_distance,
+                **preset,
             )
             v = np.asarray(valid)
             s = np.asarray(score)
@@ -144,9 +144,25 @@ class OdometryPipeline:
         cfg = self.cfg
         pyr = build_pyramid(jnp.asarray(img), cfg.lk_levels)
         k = len(self.tables)
-        table = steps.track_step(
-            self._prev_pyr, pyr, self.tables[k - 1], win=cfg.lk_window, iters=cfg.lk_iters
-        )
+        if cfg.matcher == "knn":
+            # Alternate matcher (kNNFeatureMatcher.cpp semantics): fresh
+            # corners in the new frame + patch-SSD association.
+            from pmv_tpu.frontend import knn_matcher
+            from pmv_tpu.frontend.corners import grid_extract
+
+            cand_xy, _, cand_valid = grid_extract(
+                pyr[0], 1000 // max(1, self._n_tiles(img.shape)) + 1,
+                tile_h=cfg.grid_rows, tile_w=cfg.grid_cols,
+                quality=cfg.quality_level, min_distance=cfg.min_distance,
+            )
+            table = knn_matcher.knn_match(
+                self._prev_pyr[0], pyr[0], self.tables[k - 1], cand_xy, cand_valid
+            )
+        else:
+            table = steps.track_step(
+                self._prev_pyr, pyr, self.tables[k - 1],
+                win=cfg.lk_window, iters=cfg.lk_iters,
+            )
         tracked = int(table.num_valid())
         if tracked < cfg.tracked_features_tol:
             n_tiles = self._n_tiles(img.shape)
@@ -160,8 +176,7 @@ class OdometryPipeline:
                 n_per_tile,
                 tile_h=cfg.grid_rows,
                 tile_w=cfg.grid_cols,
-                quality=cfg.quality_level,
-                min_distance=cfg.min_distance,
+                **cfg.extractor_preset(),
             )
         self.tables.append(table)
         self._prev_pyr = pyr
@@ -348,6 +363,10 @@ class OdometryPipeline:
         from pmv_tpu.pipeline import fused
 
         cfg = self.cfg
+        if cfg.matcher != "lk":
+            # Alternate matchers (kNN patch matching) run through the
+            # modular per-stage loop; the fused step is LK-only.
+            return self.run_modular()
         init_paths = self.file_names[: cfg.init_frames]
         init_imgs = [img for _, img in FramePrefetcher(init_paths)]
         self.initialise(init_imgs)
@@ -355,6 +374,7 @@ class OdometryPipeline:
 
         img0 = init_imgs[self.init_offset]
         n_tiles = self._n_tiles(img0.shape)
+        preset = cfg.extractor_preset()
         step_cfg = fused.StepConfig(
             lk_levels=cfg.lk_levels,
             lk_window=cfg.lk_window,
@@ -362,18 +382,22 @@ class OdometryPipeline:
             tile_h=cfg.grid_rows,
             tile_w=cfg.grid_cols,
             n_per_tile=max(1, math.ceil(cfg.min_tracked_features / n_tiles)),
-            quality=cfg.quality_level,
-            min_distance=cfg.min_distance,
+            quality=preset["quality"],
+            min_distance=preset["min_distance"],
+            response=preset["response"],
             tracked_tol=cfg.tracked_features_tol,
             e_hypos=cfg.ransac_e_hypos,
             e_thresh=cfg.ransac_e_thresh,
             pnp_hypos=cfg.ransac_pnp_hypos,
             pnp_thresh=cfg.ransac_pnp_thresh,
         )
+        # traj_cap is STATIC in the compiled programs: keep it fixed (not a
+        # function of cfg.frames) so warmup/short runs share the cache with
+        # full runs. 2048 covers every KITTI sequence.
         step_cfg = step_cfg._replace(
             bundle_size=max(cfg.bundle_size, 1),
             ba_iters=cfg.max_iterations,
-            traj_cap=max(cfg.frames + 2, 16),
+            traj_cap=max(2048, cfg.frames + 2),
         )
         state = fused.init_state(
             pyr=tuple(build_pyramid(jnp.asarray(img0), cfg.lk_levels)),
@@ -394,34 +418,49 @@ class OdometryPipeline:
         buf_img: list[np.ndarray] = []
         buf_gt: list[np.float32] = []
         buf_key: list[np.ndarray] = []
+        # Double buffering: start the device upload of chunk i+1 before
+        # dispatching compute for chunk i, overlapping the slow host->device
+        # transfer with the previous chunk's execution.
+        pending = None  # (dev_imgs, gts, keys, n)
 
-        def flush(state, size):
-            nonlocal buf_img, buf_gt, buf_key
+        def log_stats(stats, take):
+            if self.cfg.verbose:
+                s = jax.device_get(stats)
+                for i in range(take):
+                    self._log(
+                        f"frame: tracked {int(s['tracked'][i])}, "
+                        f"n3d {int(s['n3d'][i])}, "
+                        f"{'pnp' if bool(s['used_pnp'][i]) else 'tri'}, "
+                        f"inliers {int(s['inliers'][i])}, "
+                        f"accepted {bool(s['accepted'][i])}"
+                    )
+
+        def dispatch(state, pend):
+            dev_imgs, gts, kys, n = pend
+            state, stats = fused.chunk_step(state, dev_imgs, gts, kys, self.K, step_cfg)
+            log_stats(stats, n)
+            return state
+
+        def enqueue(state):
+            """Upload the buffered frames, then run the previously pending
+            chunk. Partial buffers go as size-1 chunks (only chunk sizes C
+            and 1 are ever compiled)."""
+            nonlocal pending, buf_img, buf_gt, buf_key
             while buf_img:
-                take = size if len(buf_img) >= size else 1
-                imgs = np.stack(buf_img[:take]).astype(np.uint8)
-                state, stats = fused.chunk_step(
-                    state,
-                    imgs,
+                take = C if len(buf_img) >= C else 1
+                dev_imgs = jax.device_put(np.stack(buf_img[:take]).astype(np.uint8))
+                pend_new = (
+                    dev_imgs,
                     np.asarray(buf_gt[:take], np.float32),
                     np.stack(buf_key[:take]),
-                    self.K,
-                    step_cfg,
+                    take,
                 )
-                if self.cfg.verbose:
-                    s = jax.device_get(stats)
-                    for i in range(take):
-                        self._log(
-                            f"frame: tracked {int(s['tracked'][i])}, "
-                            f"n3d {int(s['n3d'][i])}, "
-                            f"{'pnp' if bool(s['used_pnp'][i]) else 'tri'}, "
-                            f"inliers {int(s['inliers'][i])}, "
-                            f"accepted {bool(s['accepted'][i])}"
-                        )
+                if pending is not None:
+                    state = dispatch(state, pending)
+                pending = pend_new
                 buf_img = buf_img[take:]
                 buf_gt = buf_gt[take:]
                 buf_key = buf_key[take:]
-            self.tables.append(state.table)
             return state
 
         for _, img in FramePrefetcher(paths):
@@ -434,9 +473,11 @@ class OdometryPipeline:
             buf_key.append(keys[min(k - 1, len(keys) - 1)])
             k_last = k
             if len(buf_img) == C:
-                state = flush(state, C)
-        if buf_img:
-            state = flush(state, C)
+                state = enqueue(state)
+        state = enqueue(state)
+        if pending is not None:
+            state = dispatch(state, pending)
+        self.tables.append(state.table)
         # One readback for the whole run.
         self.map = state.map
         R_hist, t_hist, Rs_f, ts_f, scale_f = jax.device_get(

@@ -50,7 +50,7 @@ def track_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_per_tile", "tile_h", "tile_w", "quality", "min_distance"),
+    static_argnames=("n_per_tile", "tile_h", "tile_w", "quality", "min_distance", "response"),
 )
 def reseed_step(
     table: FeatureTable,
@@ -60,6 +60,7 @@ def reseed_step(
     tile_w: int = 255,
     quality: float = 0.01,
     min_distance: int = 5,
+    response: str = "min_eig",
 ) -> FeatureTable:
     """Top up the feature table from fresh grid-tiled corners.
 
@@ -78,6 +79,7 @@ def reseed_step(
         tile_w=tile_w,
         quality=quality,
         min_distance=min_distance,
+        response=response,
     )
     neigh = has_neighbor(cand_xy, table.xy, table.valid, dist=min_distance)
     ok = cand_valid & ~neigh

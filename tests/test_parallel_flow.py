@@ -1,0 +1,109 @@
+"""Integration tests for the data-parallel multi-sequence path and the
+global distributed-BA + pose-graph refinement, on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pmv_tpu.config import VOConfig
+from pmv_tpu.core.state import FeatureTable, MapState
+from pmv_tpu.frontend.image import build_pyramid
+from pmv_tpu.io import synthetic
+from pmv_tpu.parallel import global_refine, mesh as mesh_lib, multi_seq
+from pmv_tpu.pipeline import fused
+from pmv_tpu.pipeline.odometry import OdometryPipeline
+
+
+class TestMultiSeq:
+    def test_batched_chunk_step_runs_sharded(self):
+        B, C, H, W, N, M = 4, 2, 96, 128, 64, 256
+        m = mesh_lib.make_mesh(dp=4, lm=2)
+        cfg = fused.StepConfig(
+            lk_levels=2, lk_window=15, lk_iters=5, tile_h=H, tile_w=W,
+            n_per_tile=32, tracked_tol=32, e_hypos=32, pnp_hypos=32,
+            bundle_size=3, ba_iters=2, traj_cap=16,
+        )
+        rng = np.random.default_rng(0)
+        states = []
+        imgs = []
+        for b in range(B):
+            seq = synthetic.make_sequence(n_frames=C + 1, shape=(H, W), density=30, seed=b)
+            img0 = jnp.asarray(seq["images"][0])
+            from pmv_tpu.frontend.corners import grid_extract, select_top
+
+            xy, sc, va = grid_extract(img0, 64, tile_h=H, tile_w=W, response="min_eig_xla")
+            txy, tsc, tva = select_top(xy, sc, va, N)
+            table = FeatureTable(
+                xy=txy, valid=tva,
+                landmark=jnp.full((N,), -1, jnp.int32), score=tsc,
+            )
+            states.append(
+                fused.init_state(
+                    pyr=tuple(build_pyramid(img0, cfg.lk_levels)),
+                    table=table, map_state=MapState.empty(M), cfg=cfg,
+                )
+            )
+            imgs.append(seq["images"][1 : C + 1].astype(np.uint8))
+        batched = multi_seq.batch_states(states)
+        step = multi_seq.make_batched_chunk_step(m, cfg)
+        keys = np.asarray(
+            jax.vmap(lambda s: jax.random.split(jax.random.PRNGKey(s), C))(
+                jnp.arange(B)
+            )
+        )
+        state_out, stats = step(
+            batched,
+            jnp.asarray(np.stack(imgs)),
+            jnp.ones((B, C), jnp.float32),
+            jnp.asarray(keys),
+            jnp.asarray(np.array(
+                [[0.6 * W, 0, W / 2], [0, 0.6 * W, H / 2], [0, 0, 1]], np.float32
+            )),
+        )
+        assert state_out.k.shape == (B,)
+        assert int(state_out.k[0]) == C
+        assert np.isfinite(np.asarray(state_out.t)).all()
+        # every sequence tracked a healthy number of features
+        assert (np.asarray(stats["tracked"]) > 10).all()
+
+
+class TestGlobalRefine:
+    def test_refine_improves_or_preserves_trajectory(self, tmp_path):
+        seq = synthetic.make_sequence(n_frames=24, shape=(128, 256), density=60, seed=5)
+        paths = synthetic.write_kitti_layout(seq, tmp_path)
+        cfg = VOConfig(
+            image_dir=paths["image_dir"],
+            camera_calibration=paths["camera_calibration"],
+            poses=paths["poses"],
+            frames=24, init_frames=2, min_tracked_features=200,
+            tracked_features_tol=80, bundle_size=5, max_iterations=3,
+            feature_capacity=256, map_capacity=2048,
+            grid_rows=128, grid_cols=256, lk_window=15,
+            chunk_frames=1,  # global refine needs per-frame tables
+        )
+        pipe = OdometryPipeline(cfg)
+        pipe.run_modular()
+        gt = pipe.gt_t.copy()
+        gt[:, 2] *= -1
+
+        def mean_err(ts):
+            return float(
+                np.mean(
+                    [
+                        np.linalg.norm(ts[i] - gt[i + pipe.init_offset])
+                        for i in range(1, len(ts))
+                    ]
+                )
+            )
+
+        before = mean_err([np.asarray(x) for x in pipe.t])
+        m = mesh_lib.make_mesh(dp=2, lm=4)
+        R_out, t_out = global_refine.global_bundle_adjust(
+            pipe, m, window=6, overlap=2, iters=4
+        )
+        after = mean_err([np.asarray(x) for x in pipe.t])
+        assert len(R_out) == len(t_out)
+        assert np.isfinite(np.stack(t_out)).all()
+        # refinement must not blow the trajectory up
+        assert after < before * 1.5 + 0.5, f"{before} -> {after}"
