@@ -28,7 +28,9 @@ import numpy as np
 BASELINE_FPS = 24.8  # reference 5/5 config on KITTI 07 (BASELINE.md)
 
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "120"))
-WARMUP_FRAMES = 12
+# Warmup must reach every compiled program of the timed run: init (5 frames)
+# + a full chunk (8) + remainder-sized (1) chunks + a BA call.
+WARMUP_FRAMES = 19
 SHAPE = (370, 1226)  # KITTI odometry grayscale frame size
 CACHE = Path(os.environ.get("BENCH_CACHE", "/tmp/pmv_bench_data"))
 
@@ -36,11 +38,14 @@ CACHE = Path(os.environ.get("BENCH_CACHE", "/tmp/pmv_bench_data"))
 def build_dataset() -> dict:
     from pmv_tpu.io import synthetic
 
-    marker = CACHE / f"ok_{N_FRAMES}_{SHAPE[0]}x{SHAPE[1]}"
+    # One directory per dataset config — concurrent processes with different
+    # N_FRAMES must never write into the same layout.
+    d = CACHE / f"seq_{N_FRAMES}_{SHAPE[0]}x{SHAPE[1]}"
+    marker = d / "ok"
     paths = {
-        "image_dir": str(CACHE / "image_0"),
-        "camera_calibration": str(CACHE / "calib.txt"),
-        "poses": str(CACHE / "poses.txt"),
+        "image_dir": str(d / "image_0"),
+        "camera_calibration": str(d / "calib.txt"),
+        "poses": str(d / "poses.txt"),
     }
     if marker.exists():
         return paths
@@ -53,7 +58,7 @@ def build_dataset() -> dict:
         yaw_rate=0.004,
         seed=0,
     )
-    synthetic.write_kitti_layout(seq, CACHE)
+    synthetic.write_kitti_layout(seq, d)
     marker.touch()
     return paths
 
@@ -93,6 +98,16 @@ def main() -> None:
     result = pipe.run()
     fps = result["frames"] / max(result["runtime"], 1e-9)
 
+    # Rebased ATE RMSE (the reference's error file never re-bases the init
+    # offset; this is the fair trajectory-quality number).
+    t_est = np.stack(pipe.t)
+    gt = pipe.gt_t.copy()
+    gt[:, 2] *= -1
+    off = pipe.init_offset
+    n = min(len(t_est), len(gt) - off)
+    rel = (t_est[1:n] - t_est[0]) - (gt[off + 1 : off + n] - gt[off])
+    ate_rmse = float(np.sqrt(np.mean(np.sum(rel**2, axis=1)))) if n > 1 else 0.0
+
     print(
         json.dumps(
             {
@@ -105,6 +120,7 @@ def main() -> None:
                     "runtime_s": round(result["runtime"], 2),
                     "t_total": round(result["t_total"], 1),
                     "R_total": round(result["R_total"], 3),
+                    "ate_rmse_m": round(ate_rmse, 3),
                     "device": str(jax.devices()[0]),
                     "frame_shape": list(SHAPE),
                 },
