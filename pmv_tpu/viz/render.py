@@ -115,6 +115,14 @@ def save_run_visuals(pipe, out_dir: str | Path | None = None) -> dict:
     map_path = out / "map.png"
     write_png(map_path, m)
     artifacts = {"map": str(map_path)}
+
+    from pmv_tpu.viz.pointcloud import export_map
+
+    ply_path = out / "pointcloud.ply"
+    n_pts = export_map(pipe, ply_path)
+    artifacts["pointcloud"] = str(ply_path)
+    artifacts["pointcloud_points"] = n_pts
+
     if pipe.cfg.video_path:
         from pmv_tpu.io.prefetch import FramePrefetcher
         from pmv_tpu.viz.video import AVIWriter
@@ -127,7 +135,21 @@ def save_run_visuals(pipe, out_dir: str | Path | None = None) -> dict:
             if k >= len(pipe.tables):
                 break
             tbl = pipe.tables[k]
-            writer.add(annotate_frame(img, np.asarray(tbl.xy), np.asarray(tbl.valid)))
+            frame = annotate_frame(img, np.asarray(tbl.xy), np.asarray(tbl.valid))
+            if pipe.cfg.fancy_video:
+                # Reference fancy_video: alpha-blend the live map into a
+                # square region of the frame (OdometryPipeline.cpp:415-422,
+                # alpha 0.75).
+                side = min(frame.shape[0], frame.shape[1])
+                # nearest-neighbor resize of the map to (side, side)
+                ys = (np.arange(side) * (m.shape[0] / side)).astype(int)
+                xs = (np.arange(side) * (m.shape[1] / side)).astype(int)
+                m_small = m[ys][:, xs]
+                roi = frame[:side, :side].astype(np.float32)
+                frame[:side, :side] = np.clip(
+                    0.75 * m_small + 0.25 * roi, 0, 255
+                ).astype(np.uint8)
+            writer.add(frame)
         writer.close()
         artifacts["video"] = pipe.cfg.video_path
     return artifacts

@@ -146,3 +146,24 @@ class TestPoseGraph:
         )
         np.testing.assert_allclose(np.asarray(t_out), ts, atol=1e-4)
         np.testing.assert_allclose(np.asarray(R_out), Rs, atol=1e-5)
+
+
+class TestPointCloud:
+    def test_median_skim(self):
+        from pmv_tpu.viz import pointcloud
+
+        pts = np.array([[1.0, 1, 1], [2, 2, 2], [100.0, 1, 1], [1, 1, 1]])
+        kept = pointcloud.median_skim(pts)
+        assert len(kept) == 3
+        assert not (np.abs(kept) > 50).any()
+
+    def test_ply_roundtrip(self, tmp_path):
+        from pmv_tpu.viz import pointcloud
+
+        pts = np.array([[1.0, 2, 3], [4, 5, 6]])
+        f = tmp_path / "x.ply"
+        pointcloud.write_ply(f, pts)
+        text = f.read_text()
+        assert text.startswith("ply")
+        assert "element vertex 2" in text
+        assert "1.0000 2.0000 3.0000" in text
