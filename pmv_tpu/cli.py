@@ -23,6 +23,8 @@ def main(argv: list[str] | None = None) -> int:
     run_p = sub.add_parser("run", help="run the odometry pipeline on a config")
     run_p.add_argument("config")
     run_p.add_argument("--platform", default=None, help="force jax platform (cpu)")
+    run_p.add_argument("--trace", default=None, metavar="DIR",
+                       help="write a jax.profiler trace of the run to DIR")
 
     synth_p = sub.add_parser("synth", help="generate a synthetic KITTI-layout dataset")
     synth_p.add_argument("out_dir")
@@ -60,7 +62,23 @@ def main(argv: list[str] | None = None) -> int:
     except OdometryPipelineException as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
-    result = pipe.run()
+    from pmv_tpu.utils.profiling import trace
+
+    with trace(args.trace):
+        result = pipe.run()
+    # Rebased ATE (fair trajectory quality; the error file keeps the
+    # reference's un-rebased metric for parity).
+    import numpy as np
+
+    t_est = np.stack(pipe.t)
+    gt = pipe.gt_t.copy()
+    gt[:, 2] *= -1
+    off = pipe.init_offset
+    n = min(len(t_est), len(gt) - off)
+    if n > 1:
+        rel = (t_est[1:n] - t_est[0]) - (gt[off + 1 : off + n] - gt[off])
+        ate = float(np.sqrt(np.mean(np.sum(rel**2, axis=1))))
+        print(f"ATE RMSE (rebased): {ate:.3f} m")
     print(
         f"Processed {result['frames']} poses in {result['runtime']:.2f}s "
         f"({result['frames'] / max(result['runtime'], 1e-9):.1f} fps) | "

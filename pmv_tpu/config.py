@@ -79,6 +79,7 @@ class VOConfig:
     ba_window_obs: int = 4096      # max observations per BA window
     chunk_frames: int = 8          # frames per device dispatch (lax.scan chunk)
     extractor: str = "good"        # good | shi_tomasi | fast
+    essential_solver: str = "five_point"  # five_point (Nister, ref default) | eight_point
     matcher: str = "lk"            # lk | knn
     dtype: str = "float32"
     seed: int = 0

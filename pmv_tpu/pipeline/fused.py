@@ -49,6 +49,7 @@ class StepConfig(NamedTuple):
     pnp_hypos: int = 128
     pnp_thresh: float = 8.0
     response: str = "min_eig"  # corner response (extractor preset)
+    essential_solver: str = "five_point"  # five_point | eight_point
     bundle_size: int = 5
     ba_iters: int = 5
     traj_cap: int = 1024  # device trajectory capacity (frames)
@@ -159,10 +160,18 @@ def frame_step(
     def tri_branch(op):
         src, nxt, m = op
         corr = src.valid & nxt.valid
-        E, inl = essential.find_essential_ransac(
-            src.xy, nxt.xy, corr, K, key_pose,
-            n_hypos=cfg.e_hypos, thresh_px=cfg.e_thresh,
-        )
+        if cfg.essential_solver == "five_point":
+            from pmv_tpu.solvers.five_point import find_essential_5pt_ransac
+
+            E, inl = find_essential_5pt_ransac(
+                src.xy, nxt.xy, corr, K, key_pose,
+                n_hypos=max(16, cfg.e_hypos // 4), thresh_px=cfg.e_thresh,
+            )
+        else:
+            E, inl = essential.find_essential_ransac(
+                src.xy, nxt.xy, corr, K, key_pose,
+                n_hypos=cfg.e_hypos, thresh_px=cfg.e_thresh,
+            )
         R_d, t_unit, X_tri, front = essential.recover_pose(E, src.xy, nxt.xy, inl, K)
         t_d = t_unit * gt_step
         src2, nxt2, m2 = steps.register_triangulated(

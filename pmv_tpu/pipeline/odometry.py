@@ -214,15 +214,24 @@ class OdometryPipeline:
             self._log(f"frame {j}: PnP with {n3d} 3D points, {int(inliers.sum())} inliers")
         else:
             corr = src.valid & nxt.valid
-            E, inl = essential.find_essential_ransac(
-                src.xy,
-                nxt.xy,
-                corr,
-                self.K,
-                self._next_key(),
-                n_hypos=cfg.ransac_e_hypos,
-                thresh_px=cfg.ransac_e_thresh,
-            )
+            if cfg.essential_solver == "five_point":
+                from pmv_tpu.solvers.five_point import find_essential_5pt_ransac
+
+                E, inl = find_essential_5pt_ransac(
+                    src.xy, nxt.xy, corr, self.K, self._next_key(),
+                    n_hypos=max(16, cfg.ransac_e_hypos // 4),
+                    thresh_px=cfg.ransac_e_thresh,
+                )
+            else:
+                E, inl = essential.find_essential_ransac(
+                    src.xy,
+                    nxt.xy,
+                    corr,
+                    self.K,
+                    self._next_key(),
+                    n_hypos=cfg.ransac_e_hypos,
+                    thresh_px=cfg.ransac_e_thresh,
+                )
             R_delta, t_unit, X_tri, front = essential.recover_pose(
                 E, src.xy, nxt.xy, inl, self.K
             )
@@ -385,6 +394,7 @@ class OdometryPipeline:
             quality=preset["quality"],
             min_distance=preset["min_distance"],
             response=preset["response"],
+            essential_solver=cfg.essential_solver,
             tracked_tol=cfg.tracked_features_tol,
             e_hypos=cfg.ransac_e_hypos,
             e_thresh=cfg.ransac_e_thresh,
