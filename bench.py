@@ -64,9 +64,12 @@ def build_dataset() -> dict:
 
 
 def make_pipeline(paths: dict, frames: int):
+    import json
+
     from pmv_tpu.config import VOConfig
     from pmv_tpu.pipeline.odometry import OdometryPipeline
 
+    overrides = json.loads(os.environ.get("BENCH_OVERRIDES", "{}"))
     cfg = VOConfig(
         image_dir=paths["image_dir"],
         camera_calibration=paths["camera_calibration"],
@@ -82,6 +85,7 @@ def make_pipeline(paths: dict, frames: int):
         map_capacity=16384,
         verbose=0,
         seed=0,
+        **overrides,
     )
     return OdometryPipeline(cfg)
 

