@@ -82,7 +82,7 @@ def make_pipeline(paths: dict, frames: int):
         bundle_size=5,
         max_iterations=5,
         feature_capacity=512,
-        map_capacity=16384,
+        map_capacity=8192,
         verbose=0,
         seed=0,
         **overrides,

@@ -64,7 +64,9 @@ class VOConfig:
 
     # --- TPU-native knobs (replace reference hard-coded constants) ---
     feature_capacity: int = 512    # N_max feature slots per frame
-    map_capacity: int = 32768      # M_max landmark slots (ring buffer)
+    map_capacity: int = 8192       # M_max landmark slots (ring buffer).
+    # BA cost scales with this (landmark blocks are dense over the table);
+    # ~2-5k landmarks are live at any time on KITTI-scale runs
     grid_rows: int = 255           # getGridROI tile size (OdometryPipeline.h:31)
     grid_cols: int = 255
     lk_window: int = 21            # LK window (reference uses 32,

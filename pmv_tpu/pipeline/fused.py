@@ -165,7 +165,7 @@ def frame_step(
 
             E, inl = find_essential_5pt_ransac(
                 src.xy, nxt.xy, corr, K, key_pose,
-                n_hypos=max(16, cfg.e_hypos // 4), thresh_px=cfg.e_thresh,
+                n_hypos=max(16, cfg.e_hypos // 8), thresh_px=cfg.e_thresh,
             )
         else:
             E, inl = essential.find_essential_ransac(
