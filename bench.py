@@ -29,8 +29,10 @@ BASELINE_FPS = 24.8  # reference 5/5 config on KITTI 07 (BASELINE.md)
 
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "120"))
 # Warmup must reach every compiled program of the timed run: init (5 frames)
-# + a full chunk (8) + remainder-sized (1) chunks + a BA call.
-WARMUP_FRAMES = 19
+# + a full chunk (8) + remainder-sized (1) chunks + a BA call. Segmented mode
+# needs one full chunk per segment.
+_SEGS = int(os.environ.get("BENCH_SEGMENTS", "1"))
+WARMUP_FRAMES = 19 if _SEGS <= 1 else 5 + _SEGS * 8 + 2
 SHAPE = (370, 1226)  # KITTI odometry grayscale frame size
 CACHE = Path(os.environ.get("BENCH_CACHE", "/tmp/pmv_bench_data"))
 
@@ -70,6 +72,7 @@ def make_pipeline(paths: dict, frames: int):
     from pmv_tpu.pipeline.odometry import OdometryPipeline
 
     overrides = json.loads(os.environ.get("BENCH_OVERRIDES", "{}"))
+    segments = int(os.environ.get("BENCH_SEGMENTS", "1"))
     cfg = VOConfig(
         image_dir=paths["image_dir"],
         camera_calibration=paths["camera_calibration"],
@@ -87,6 +90,10 @@ def make_pipeline(paths: dict, frames: int):
         seed=0,
         **overrides,
     )
+    if segments > 1:
+        from pmv_tpu.pipeline.segmented import SegmentedPipeline
+
+        return SegmentedPipeline(cfg, segments=segments)
     return OdometryPipeline(cfg)
 
 
@@ -133,5 +140,57 @@ def main() -> None:
     )
 
 
+def main_with_watchdog() -> None:
+    """Run the benchmark in a child process with a hard timeout.
+
+    The tunneled TPU occasionally wedges (RPCs hang ignoring SIGTERM); the
+    driver must still receive one JSON line, so the parent kills the child
+    and reports a failure record instead of hanging.
+    """
+    import subprocess
+
+    budget = int(os.environ.get("BENCH_TIMEOUT_S", "2700"))
+    env = dict(os.environ, BENCH_CHILD="1")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True,
+            text=True,
+            timeout=budget,
+            env=env,
+        )
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if lines:
+            print(lines[-1])
+            return
+        err = (proc.stderr or "")[-400:]
+        print(
+            json.dumps(
+                {
+                    "metric": "vo_frames_per_sec",
+                    "value": 0.0,
+                    "unit": "frames/s",
+                    "vs_baseline": 0.0,
+                    "detail": {"error": f"no output (rc={proc.returncode}): {err}"},
+                }
+            )
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            json.dumps(
+                {
+                    "metric": "vo_frames_per_sec",
+                    "value": 0.0,
+                    "unit": "frames/s",
+                    "vs_baseline": 0.0,
+                    "detail": {"error": f"timeout after {budget}s (TPU wedged?)"},
+                }
+            )
+        )
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD") == "1":
+        main()
+    else:
+        main_with_watchdog()

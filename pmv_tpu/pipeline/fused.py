@@ -285,18 +285,36 @@ def ba_step(state: StepState, K: jax.Array, cfg: StepConfig) -> StepState:
     tr = geo.pose_to_ba_params(state.R_hist[f_safe], state.t_hist[f_safe])
     pose_free = f_ids >= 1
 
+    # Compact the window to its unique landmarks: the solver's block tensors
+    # are dense over the landmark axis, so shrinking it from map_capacity to
+    # the <= P*N window landmarks cuts BA cost ~an order of magnitude.
+    L_win = obs_lm.shape[0]
+    big = jnp.int32(state.map.capacity)
+    ids = jnp.where(obs_mask, obs_lm, big)
+    uniq = jnp.unique(ids, size=L_win, fill_value=big)
+    local = jnp.searchsorted(uniq, ids).astype(jnp.int32)
+    local = jnp.minimum(local, L_win - 1)
+    uniq_safe = jnp.minimum(uniq, state.map.capacity - 1)
+    lm_local = state.map.xyz[uniq_safe]
+
     prob = schur_lm.BAProblem(
         tr=tr,
-        lm=state.map.xyz,
+        lm=lm_local,
         obs_uv=obs_uv,
         obs_pose=obs_pose,
-        obs_lm=obs_lm,
+        obs_lm=local,
         obs_mask=obs_mask,
         pose_free=pose_free,
         K=K,
     )
-    tr_out, lm_out, _ = schur_lm.ba_solve(prob, iters=cfg.ba_iters)
+    tr_out, lm_local_out, _ = schur_lm.ba_solve(prob, iters=cfg.ba_iters)
     R_new, t_new = geo.ba_params_to_pose(tr_out)
+    # Scatter optimized landmarks back to the global map (pad-row trick for
+    # the fill slots).
+    lm_valid = uniq < big
+    scatter_idx = jnp.where(lm_valid, uniq_safe, state.map.capacity).astype(jnp.int32)
+    map_xyz = jnp.concatenate([state.map.xyz, jnp.zeros((1, 3), jnp.float32)])
+    lm_out = map_xyz.at[scatter_idx].set(lm_local_out)[: state.map.capacity]
 
     # Scatter back only the free poses (pad-row trick avoids duplicate-index
     # clobbering from the clipped early-window ids).

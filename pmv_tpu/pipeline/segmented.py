@@ -56,10 +56,15 @@ class SegmentedPipeline(OdometryPipeline):
 
         first = self.init_offset
         n_trans = stop - first - 1  # transitions to estimate
-        L = n_trans // B
+        C0 = max(1, cfg.chunk_frames)
+        # Keep every device chunk exactly chunk_frames long so warmup and
+        # timed runs compile the same programs; trailing transitions beyond
+        # the largest multiple are dropped (bench-mode trade-off).
+        L = (n_trans // B // C0) * C0
+        if L < C0:
+            L = max(1, n_trans // B)
         if L < 1:
             raise ValueError(f"too few frames ({n_trans}) for {B} segments")
-        used = L * B
         seg_starts = [first + b * L for b in range(B)]
 
         img0 = init_imgs[self.init_offset]
