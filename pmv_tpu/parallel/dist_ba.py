@@ -25,12 +25,10 @@ performs this layout on the host.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from pmv_tpu.ba import schur_lm
 from pmv_tpu.ba.schur_lm import assemble_blocks, schur_solve
