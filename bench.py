@@ -29,10 +29,13 @@ BASELINE_FPS = 24.8  # reference 5/5 config on KITTI 07 (BASELINE.md)
 
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "120"))
 # Warmup must reach every compiled program of the timed run: init (5 frames)
-# + a full chunk (8) + remainder-sized (1) chunks + a BA call. Segmented mode
+# + a full chunk + remainder-sized (1) chunks + a BA call. Segmented mode
 # needs one full chunk per segment.
 _SEGS = int(os.environ.get("BENCH_SEGMENTS", "1"))
-WARMUP_FRAMES = 19 if _SEGS <= 1 else 5 + _SEGS * 8 + 2
+_CHUNK = int(
+    json.loads(os.environ.get("BENCH_OVERRIDES", "{}")).get("chunk_frames", 8)
+)
+WARMUP_FRAMES = 5 + _CHUNK + 6 if _SEGS <= 1 else 5 + _SEGS * _CHUNK + 2
 SHAPE = (370, 1226)  # KITTI odometry grayscale frame size
 CACHE = Path(os.environ.get("BENCH_CACHE", "/tmp/pmv_bench_data"))
 

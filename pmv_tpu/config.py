@@ -74,6 +74,11 @@ class VOConfig:
     # scenes and is cheaper — set 32 for strict parity)
     lk_levels: int = 4             # LK pyramid levels (OpenCVLucasKanadeFM.h:10)
     lk_iters: int = 10             # LK iterations per level
+    lk_search: int = 0             # search radius around the per-level guess;
+    # 0 = max(4, lk_window // 2). With pyramid guess propagation a small
+    # radius loses nothing and shrinks every LK block load and sampling matmul
+    ba_cadence: int = 0            # frames between BA windows; 0 = reference
+    # cadence bundle_size//3*2 (OdometryPipeline.cpp:407)
     min_distance: int = 5          # corner min-distance (OpenCVGoodFeatureExtractor.h)
     quality_level: float = 0.01    # corner quality (OpenCVGoodFeatureExtractor.h)
     ransac_e_hypos: int = 256      # essential-matrix RANSAC hypotheses

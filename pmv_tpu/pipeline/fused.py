@@ -38,6 +38,7 @@ class StepConfig(NamedTuple):
     lk_levels: int = 4
     lk_window: int = 32
     lk_iters: int = 10
+    lk_search: int = 0  # search radius around the guess; 0 = max(4, win//2)
     tile_h: int = 255
     tile_w: int = 255
     n_per_tile: int = 40
@@ -52,6 +53,8 @@ class StepConfig(NamedTuple):
     essential_solver: str = "five_point"  # five_point | eight_point
     bundle_size: int = 5
     ba_iters: int = 5
+    ba_cadence: int = 0  # frames between BA calls; 0 = reference cadence
+    # (bundle_size//3*2, OdometryPipeline.cpp:407)
     traj_cap: int = 1024  # device trajectory capacity (frames)
 
 
@@ -63,7 +66,9 @@ class StepState(NamedTuple):
     run is a chain of dispatches with one final readback.
     """
 
-    pyr: tuple  # image pyramid of the current frame
+    blocks: tuple  # per-level (region (N,Rg,Rg), r0 (N,), c0 (N,)) LK blocks
+    # of the current frame — the next track's template source (template reuse
+    # halves the per-frame block gathers, the LK cost driver on TPU)
     table: FeatureTable
     map: MapState
     R: jax.Array  # (3, 3) current world pose
@@ -90,8 +95,14 @@ def init_state(
     N = table.capacity
     eye = jnp.eye(3, dtype=jnp.float32)
     T = cfg.traj_cap
+    from pmv_tpu.frontend import lucas_kanade as lk
+
+    blocks = lk.capture_blocks(
+        tuple(pyr), table.xy, win=cfg.lk_window,
+        search=cfg.lk_search if cfg.lk_search > 0 else None,
+    )
     return StepState(
-        pyr=pyr,
+        blocks=blocks,
         table=table,
         map=map_state,
         R=eye,
@@ -126,22 +137,33 @@ def frame_step(
     """
     next_pyr = tuple(build_pyramid(next_img, cfg.lk_levels))
 
-    tracked_table = steps.track_step(
-        list(state.pyr), list(next_pyr), state.table,
-        win=cfg.lk_window, iters=cfg.lk_iters,
+    tracked_table, new_blocks = steps.track_step_cached(
+        state.blocks, list(next_pyr), state.table,
+        win=cfg.lk_window, iters=cfg.lk_iters, search=cfg.lk_search,
     )
     tracked = tracked_table.num_valid()
 
-    def do_reseed(tbl):
-        return steps.reseed_step(
+    def do_reseed(op):
+        tbl, _ = op
+        tbl2 = steps.reseed_step(
             tbl, next_pyr[0], cfg.n_per_tile,
             tile_h=cfg.tile_h, tile_w=cfg.tile_w,
             quality=cfg.quality, min_distance=cfg.min_distance,
             response=cfg.response,
         )
+        # Reseeded slots moved: the cached blocks no longer cover them, so
+        # recapture around the updated table (only on reseed frames).
+        from pmv_tpu.frontend import lucas_kanade as lk
 
-    next_table = lax.cond(
-        tracked < cfg.tracked_tol, do_reseed, lambda tbl: tbl, tracked_table
+        blocks2 = lk.capture_blocks(
+            next_pyr, tbl2.xy, win=cfg.lk_window,
+            search=cfg.lk_search if cfg.lk_search > 0 else None,
+        )
+        return tbl2, blocks2
+
+    next_table, new_blocks = lax.cond(
+        tracked < cfg.tracked_tol, do_reseed, lambda op: op,
+        (tracked_table, new_blocks),
     )
 
     n3d = state.table.count_3d(state.map.alive)
@@ -203,7 +225,7 @@ def frame_step(
     )
 
     new_state = StepState(
-        pyr=next_pyr,
+        blocks=new_blocks,
         table=next_table,
         map=new_map,
         R=R_new,
@@ -245,7 +267,7 @@ def chunk_step(
     ~overhead/C. Frames are shipped uint8 (4x less transfer than f32) and
     converted on device. Returns (state, per-frame stats pytree (C, ...)).
     """
-    cadence = max(1, cfg.bundle_size // 3 * 2)
+    cadence = cfg.ba_cadence if cfg.ba_cadence > 0 else max(1, cfg.bundle_size // 3 * 2)
 
     def body(s, xs):
         img_u8, gt, key = xs

@@ -68,7 +68,9 @@ class OdometryPipeline:
         self.errors_R: list[float] = []
         self._key = jax.random.PRNGKey(cfg.seed)
         self._watch = Stopwatch()
-        self._ba_cadence = max(1, cfg.bundle_size // 3 * 2)
+        self._ba_cadence = (
+            cfg.ba_cadence if cfg.ba_cadence > 0 else max(1, cfg.bundle_size // 3 * 2)
+        )
         self._prev_pyr = None
 
     # ------------------------------------------------------------------
@@ -161,7 +163,7 @@ class OdometryPipeline:
         else:
             table = steps.track_step(
                 self._prev_pyr, pyr, self.tables[k - 1],
-                win=cfg.lk_window, iters=cfg.lk_iters,
+                win=cfg.lk_window, iters=cfg.lk_iters, search=cfg.lk_search,
             )
         tracked = int(table.num_valid())
         if tracked < cfg.tracked_features_tol:
@@ -388,6 +390,7 @@ class OdometryPipeline:
             lk_levels=cfg.lk_levels,
             lk_window=cfg.lk_window,
             lk_iters=cfg.lk_iters,
+            lk_search=cfg.lk_search,
             tile_h=cfg.grid_rows,
             tile_w=cfg.grid_cols,
             n_per_tile=max(1, math.ceil(cfg.min_tracked_features / n_tiles)),
@@ -407,6 +410,7 @@ class OdometryPipeline:
         step_cfg = step_cfg._replace(
             bundle_size=max(cfg.bundle_size, 1),
             ba_iters=cfg.max_iterations,
+            ba_cadence=cfg.ba_cadence,
             traj_cap=max(2048, cfg.frames + 2),
         )
         state = fused.init_state(

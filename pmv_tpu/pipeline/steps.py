@@ -22,13 +22,14 @@ from pmv_tpu.frontend import lucas_kanade as lk
 FLIP = jnp.diag(jnp.array([1.0, 1.0, -1.0]))
 
 
-@functools.partial(jax.jit, static_argnames=("win", "iters"))
+@functools.partial(jax.jit, static_argnames=("win", "iters", "search"))
 def track_step(
     prev_pyr: list[jax.Array],
     next_pyr: list[jax.Array],
     prev_table: FeatureTable,
     win: int = 32,
     iters: int = 10,
+    search: int = 0,
 ) -> FeatureTable:
     """LK-track the previous frame's features into the next frame.
 
@@ -38,7 +39,8 @@ def track_step(
     track status; the landmark association is inherited.
     """
     new_xy, status = lk.track(
-        prev_pyr, next_pyr, prev_table.xy, prev_table.valid, win=win, iters=iters
+        prev_pyr, next_pyr, prev_table.xy, prev_table.valid, win=win, iters=iters,
+        search=search if search > 0 else None,
     )
     return FeatureTable(
         xy=new_xy,
@@ -46,6 +48,31 @@ def track_step(
         landmark=jnp.where(status, prev_table.landmark, -1),
         score=jnp.where(status, prev_table.score, 0.0),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("win", "iters", "search"))
+def track_step_cached(
+    blocks: tuple,
+    next_pyr: list[jax.Array],
+    prev_table: FeatureTable,
+    win: int = 32,
+    iters: int = 10,
+    search: int = 0,
+) -> tuple[FeatureTable, tuple]:
+    """:func:`track_step` with the per-level templates sampled from the
+    previous frame's cached region blocks (half the block gathers). Returns
+    (table, new_blocks) — thread ``new_blocks`` into the next call."""
+    new_xy, status, new_blocks = lk.track_cached(
+        blocks, next_pyr, prev_table.xy, prev_table.valid, win=win, iters=iters,
+        search=search if search > 0 else None,
+    )
+    table = FeatureTable(
+        xy=new_xy,
+        valid=status,
+        landmark=jnp.where(status, prev_table.landmark, -1),
+        score=jnp.where(status, prev_table.score, 0.0),
+    )
+    return table, new_blocks
 
 
 @functools.partial(

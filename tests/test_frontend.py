@@ -145,3 +145,32 @@ class TestLucasKanade:
         new_xy, status = lk.track(pyr0, pyr1, xy, valid, win=21)
         # most corners should track between consecutive synthetic frames
         assert int(status.sum()) > int(valid.sum()) * 0.5
+
+
+class TestTrackCached:
+    """track_cached (template from cached region blocks) must agree with the
+    fresh-template track() and stay accurate over a multi-frame chain."""
+
+    def test_matches_fresh_track(self):
+        seq = synthetic.make_sequence(n_frames=3, shape=(128, 192), density=30, seed=2)
+        imgs = [jnp.asarray(f) for f in seq["images"]]
+        xy, score, valid = corners.grid_extract(imgs[0], n_per_tile=48, tile_h=128, tile_w=192)
+        pyrs = [image.build_pyramid(im, 3) for im in imgs]
+
+        blocks = lk.capture_blocks(tuple(pyrs[0]), xy, win=15)
+        fresh_xy, fresh_st = lk.track(pyrs[0], pyrs[1], xy, valid, win=15)
+        cach_xy, cach_st, blocks = lk.track_cached(blocks, pyrs[1], xy, valid, win=15)
+        both = np.asarray(fresh_st) & np.asarray(cach_st)
+        assert both.sum() >= int(np.asarray(fresh_st).sum()) * 0.9
+        np.testing.assert_allclose(
+            np.asarray(cach_xy)[both], np.asarray(fresh_xy)[both], atol=0.05
+        )
+
+        # second hop: templates now come from blocks captured DURING tracking
+        fresh2_xy, fresh2_st = lk.track(pyrs[1], pyrs[2], cach_xy, cach_st, win=15)
+        cach2_xy, cach2_st, _ = lk.track_cached(blocks, pyrs[2], cach_xy, cach_st, win=15)
+        both2 = np.asarray(fresh2_st) & np.asarray(cach2_st)
+        assert both2.sum() >= int(np.asarray(fresh2_st).sum()) * 0.85
+        np.testing.assert_allclose(
+            np.asarray(cach2_xy)[both2], np.asarray(fresh2_xy)[both2], atol=0.25
+        )
