@@ -101,7 +101,7 @@ class MapState(NamedTuple):
         # they can never clobber a real slot.
         scatter_idx = jnp.where(mask, slots, self.capacity).astype(jnp.int32)
         xyz = jnp.concatenate([self.xyz, jnp.zeros_like(self.xyz[:1])])
-        xyz = xyz.at[scatter_idx].set(pts)[: self.capacity]
+        xyz = xyz.at[scatter_idx].set(pts.astype(self.xyz.dtype))[: self.capacity]
         alive = jnp.concatenate([self.alive, jnp.zeros_like(self.alive[:1])])
         alive = alive.at[scatter_idx].set(True)[: self.capacity]
         new_head = ((self.head + jnp.sum(mask.astype(jnp.int32))) % self.capacity).astype(
@@ -123,7 +123,7 @@ class MapState(NamedTuple):
         ok = mask & (slots >= 0)
         idx = jnp.where(ok, slots, self.capacity).astype(jnp.int32)
         xyz = jnp.concatenate([self.xyz, jnp.zeros_like(self.xyz[:1])])
-        xyz = xyz.at[idx].set(pts)[: self.capacity]
+        xyz = xyz.at[idx].set(pts.astype(self.xyz.dtype))[: self.capacity]
         return self._replace(xyz=xyz)
 
 
