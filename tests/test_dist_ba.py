@@ -72,6 +72,59 @@ class TestDistributedBA:
                 float(cost[d]), float(stats["cost"]), rtol=1e-6, atol=1e-8
             )
 
+    def test_communication_is_constant_in_landmark_count(self, mesh42):
+        """The scaling contract of the lm-sharded solver: cross-shard traffic
+        per LM iteration is the psum-reduced camera system + scalars — its
+        COUNT and PAYLOAD in the compiled HLO must not grow with the number
+        of landmarks (the sharded axis). This is what makes the design
+        ICI-friendly at scale (BASELINE.md's >=70% efficiency target)."""
+        rng = np.random.default_rng(2)
+
+        def hlo_for(L):
+            prob, _, _ = make_window(rng, P=5, L=L, noise=0.2)
+            part = shard_problem(prob, 4)
+            args = (
+                prob.tr[None].repeat(2, 0),
+                jnp.asarray(part[4])[None].repeat(2, 0),
+                jnp.asarray(part[0])[None].repeat(2, 0),
+                jnp.asarray(part[1], dtype=jnp.int32)[None].repeat(2, 0),
+                jnp.asarray(part[2], dtype=jnp.int32)[None].repeat(2, 0),
+                jnp.asarray(part[3])[None].repeat(2, 0),
+                prob.pose_free[None].repeat(2, 0),
+                prob.K,
+            )
+            solver = dist_ba.make_distributed_ba(mesh42, iters=5)
+            return jax.jit(solver).lower(*args).compile().as_text()
+
+        def comm_profile(hlo):
+            ops = [
+                ln for ln in hlo.splitlines()
+                if ("all-reduce(" in ln or "all-reduce-start(" in ln)
+                and "=" in ln
+            ]
+            # payload element count of each collective, from the result shape
+            # e.g. "f32[30,30]{...} all-reduce(...)"
+            import re
+
+            sizes = []
+            for ln in ops:
+                m = re.search(r"(?:f32|f64)\[([0-9,]*)\]\S* all-reduce", ln)
+                if m:
+                    dims = [int(d) for d in m.group(1).split(",") if d]
+                    sz = 1
+                    for d in dims:
+                        sz *= d
+                    sizes.append(sz)
+            return len(ops), sum(sizes)
+
+        n64, bytes64 = comm_profile(hlo_for(64))
+        n256, bytes256 = comm_profile(hlo_for(256))
+        assert n64 > 0, "expected all-reduces in the sharded solver"
+        assert n256 == n64, f"collective count grew with L: {n64} -> {n256}"
+        assert bytes256 == bytes64, (
+            f"collective payload grew with L: {bytes64} -> {bytes256}"
+        )
+
     def test_runs_on_8_lm_shards(self):
         rng = np.random.default_rng(1)
         prob, tr_gt, X_gt = make_window(rng, P=5, L=64, noise=0.1)
