@@ -120,17 +120,13 @@ def main() -> None:
             best = (fps, result, pipe)
     fps, result, pipe = best
 
-    # Sustained BA iterations/s (BASELINE.json metric): the fused loop runs
-    # cfg.max_iterations LM iterations every ba_cadence frames (reference
-    # cadence bundle_size//3*2, OdometryPipeline.cpp:407).
+    # Sustained BA iterations/s (BASELINE.json metric): each BA call runs
+    # cfg.max_iterations LM iterations; the pipeline reports its actual
+    # call count (reference cadence bundle_size//3*2,
+    # OdometryPipeline.cpp:407).
     ov = json.loads(os.environ.get("BENCH_OVERRIDES", "{}"))
-    bundle = int(ov.get("bundle_size", 5))
     ba_iters = int(ov.get("max_iterations", 5))
-    cadence = int(ov.get("ba_cadence", 0)) or max(1, bundle // 3 * 2)
-    n_ba_calls = sum(
-        1 for j in range(1, result["frames"]) if j > 0 and j % cadence == 0
-    )
-    ba_iters_per_sec = n_ba_calls * ba_iters / max(result["runtime"], 1e-9)
+    ba_iters_per_sec = result["ba_calls"] * ba_iters / max(result["runtime"], 1e-9)
 
     # Rebased ATE RMSE (the reference's error file never re-bases the init
     # offset; this is the fair trajectory-quality number).

@@ -20,7 +20,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-NO_LANDMARK = jnp.int32(-1)
+# Plain int, NOT jnp.int32: a module-level device constant would initialize
+# the XLA backend at import time, breaking jax.distributed.initialize
+# ordering for multi-host users (it must run before any backend use).
+NO_LANDMARK = -1
 
 
 class FeatureTable(NamedTuple):

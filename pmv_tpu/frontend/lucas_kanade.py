@@ -14,8 +14,9 @@ gathers individual pixels. Instead:
 - the iteration loop only re-slices (win+1, win+1) sub-blocks from the
   per-feature VMEM-resident search regions.
 
-A Pallas kernel variant with explicit DMA double-buffering lives in
-``pmv_tpu.frontend.pallas_kernels``; this module is the portable XLA path.
+(``pmv_tpu.frontend.pallas_kernels`` holds the Pallas corner-response
+kernel; LK itself is this XLA formulation — its hot loops are already
+matmul-shaped, so XLA schedules them onto the MXU directly.)
 
 Convention: feature positions are (u=column, v=row) float32 pixels.
 """

@@ -33,15 +33,41 @@ def make_mesh(dp: int = 1, lm: int | None = None, devices=None) -> Mesh:
     return Mesh(arr, ("dp", "lm"))
 
 
-def initialize_multihost(coordinator: str | None = None, num_processes: int | None = None,
-                         process_id: int | None = None) -> None:
+def initialize_multihost(
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
     """jax.distributed bootstrap for multi-host pods (DCN across hosts,
-    ICI within a slice). No-op when already initialized or single-host."""
+    ICI within a slice). Returns True when the process group is (now or
+    already) initialized.
+
+    Failures are NOT swallowed: with explicit multi-host arguments a broken
+    coordinator must abort the run (silently degrading to single-host would
+    corrupt a production job); only the argument-free single-process call
+    treats "already initialized" as a benign no-op.
+    """
+    import logging
+
+    log = logging.getLogger(__name__)
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process
+        return True
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            log.info("jax.distributed already initialized: %s", e)
+            return True
+        if coordinator is None and num_processes is None:
+            # Auto-detection outside a managed multi-host environment.
+            log.info("jax.distributed auto-init unavailable: %s", e)
+            return False
+        raise
+    except ValueError as e:
+        if coordinator is None and num_processes is None:
+            log.info("jax.distributed auto-init unavailable: %s", e)
+            return False
+        raise

@@ -183,11 +183,14 @@ def frame_step(
         src, nxt, m = op
         corr = src.valid & nxt.valid
         if cfg.essential_solver == "five_point":
-            from pmv_tpu.solvers.five_point import find_essential_5pt_ransac
+            from pmv_tpu.solvers.five_point import (
+                find_essential_5pt_ransac,
+                ransac_budget,
+            )
 
             E, inl = find_essential_5pt_ransac(
                 src.xy, nxt.xy, corr, K, key_pose,
-                n_hypos=max(16, cfg.e_hypos // 8), thresh_px=cfg.e_thresh,
+                n_hypos=ransac_budget(cfg.e_hypos), thresh_px=cfg.e_thresh,
             )
         else:
             E, inl = essential.find_essential_ransac(

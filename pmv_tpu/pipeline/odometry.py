@@ -72,6 +72,7 @@ class OdometryPipeline:
             cfg.ba_cadence if cfg.ba_cadence > 0 else max(1, cfg.bundle_size // 3 * 2)
         )
         self._prev_pyr = None
+        self._ba_calls = 0  # actual BA invocations this run (bench metric)
 
     # ------------------------------------------------------------------
     # helpers
@@ -146,6 +147,8 @@ class OdometryPipeline:
         cfg = self.cfg
         pyr = build_pyramid(jnp.asarray(img), cfg.lk_levels)
         k = len(self.tables)
+        if cfg.verbose:
+            self._watch.tick()
         if cfg.matcher == "knn":
             # Alternate matcher (kNNFeatureMatcher.cpp semantics): fresh
             # corners in the new frame + patch-SSD association.
@@ -166,9 +169,18 @@ class OdometryPipeline:
                 win=cfg.lk_window, iters=cfg.lk_iters, search=cfg.lk_search,
             )
         tracked = int(table.num_valid())
+        if cfg.verbose:
+            # Per-stage timing like the reference's verbose printouts
+            # (OdometryPipeline.cpp:334-340).
+            jax.block_until_ready(table.xy)
+            self._log(
+                f"{self._watch.tock():.6g} seconds for feature matching in frame #{k}"
+            )
         if tracked < cfg.tracked_features_tol:
             n_tiles = self._n_tiles(img.shape)
             n_per_tile = max(1, math.ceil(cfg.min_tracked_features / n_tiles))
+            if cfg.verbose:
+                self._watch.tick()
             self._log(
                 f"Trying to find {cfg.min_tracked_features} new features in frame #{k}"
             )
@@ -180,6 +192,10 @@ class OdometryPipeline:
                 tile_w=cfg.grid_cols,
                 **cfg.extractor_preset(),
             )
+            if cfg.verbose:
+                # OdometryPipeline.cpp:369-370.
+                jax.block_until_ready(table.xy)
+                self._log(f"Feature extraction took {self._watch.tock():.6g} seconds")
         self.tables.append(table)
         self._prev_pyr = pyr
         return k
@@ -191,6 +207,8 @@ class OdometryPipeline:
     def estimate_pose(self, j: int) -> None:
         """Estimate the pose of frame j+1 from the pair (j, j+1)."""
         cfg = self.cfg
+        if cfg.verbose:
+            self._watch.tick()
         src = self.tables[j]
         nxt = self.tables[j + 1]
         R_j = jnp.asarray(self.R[j], jnp.float32)
@@ -215,13 +233,18 @@ class OdometryPipeline:
             self.map = steps.kill_outlier_landmarks(self.map, lm_slots, mask, inliers)
             self._log(f"frame {j}: PnP with {n3d} 3D points, {int(inliers.sum())} inliers")
         else:
+            if cfg.verbose:
+                self._watch.tick()
             corr = src.valid & nxt.valid
             if cfg.essential_solver == "five_point":
-                from pmv_tpu.solvers.five_point import find_essential_5pt_ransac
+                from pmv_tpu.solvers.five_point import (
+                    find_essential_5pt_ransac,
+                    ransac_budget,
+                )
 
                 E, inl = find_essential_5pt_ransac(
                     src.xy, nxt.xy, corr, self.K, self._next_key(),
-                    n_hypos=max(16, cfg.ransac_e_hypos // 4),
+                    n_hypos=ransac_budget(cfg.ransac_e_hypos),
                     thresh_px=cfg.ransac_e_thresh,
                 )
             else:
@@ -256,6 +279,12 @@ class OdometryPipeline:
             self._log(
                 f"frame {j}: triangulated, {int((inl & front).sum())} new landmarks"
             )
+            if cfg.verbose:
+                # OdometryPipeline.cpp:394-395.
+                jax.block_until_ready(self.map.xyz)
+                self._log(
+                    f"{self._watch.tock():.6g} seconds for triangulating points."
+                )
 
         R_new, t_new, R_s_new, t_s_new, accepted = motion_gate(
             R_delta,
@@ -272,9 +301,15 @@ class OdometryPipeline:
         self.t.append(np.asarray(t_new, np.float64))
         self.R_s.append(np.asarray(R_s_new, np.float64))
         self.t_s.append(np.asarray(t_s_new, np.float64))
+        if cfg.verbose:
+            # OdometryPipeline.cpp:404-405.
+            self._log(
+                f"{self._watch.tock():.6g} seconds for pose estimation in frame #{j}"
+            )
 
         if cfg.bundle_size and j and j % self._ba_cadence == 0:
             self.bundle_adjust(j + 1)
+            self._ba_calls += 1
 
     # ------------------------------------------------------------------
     # bundle adjustment window (CeresBundleAdjustment.cpp:5-89)
@@ -365,6 +400,7 @@ class OdometryPipeline:
             "frames": len(self.t),
             "t_total": float(np.sum(self.errors_t)) if self.errors_t else 0.0,
             "R_total": float(np.sum(self.errors_R)) if self.errors_R else 0.0,
+            "ba_calls": self._ba_calls,
         }
 
     def run(self) -> dict:
@@ -492,6 +528,14 @@ class OdometryPipeline:
         if pending is not None:
             state = dispatch(state, pending)
         self.tables.append(state.table)
+        # Exact BA-call count of the fused loop: chunk_step fires BA after
+        # frame k at j = k_new - 1, i.e. j ranges over [1, k_last).
+        cadence = (
+            step_cfg.ba_cadence
+            if step_cfg.ba_cadence > 0
+            else max(1, step_cfg.bundle_size // 3 * 2)
+        )
+        self._ba_calls = sum(1 for j in range(1, k_last) if j % cadence == 0)
         # One readback for the whole run.
         self.map = state.map
         R_hist, t_hist, Rs_f, ts_f, scale_f = jax.device_get(
@@ -510,6 +554,7 @@ class OdometryPipeline:
         dispatch per stage. Slower (more round trips) but easier to
         instrument; behaviorally equivalent to run()."""
         cfg = self.cfg
+        self._ba_calls = 0
         init_paths = self.file_names[: cfg.init_frames]
         init_imgs = [img for _, img in FramePrefetcher(init_paths)]
         self.initialise(init_imgs)

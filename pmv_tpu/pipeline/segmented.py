@@ -189,6 +189,14 @@ class SegmentedPipeline(OdometryPipeline):
                 self.t.append(t_anchor.copy())
         self.R_s = [np.eye(3)]
         self.t_s = [np.zeros(3)]
+        # Each segment runs the fused BA cadence independently over its L
+        # local frames (chunk_step fires at local j in [1, L)).
+        cadence = (
+            step_cfg.ba_cadence
+            if step_cfg.ba_cadence > 0
+            else max(1, step_cfg.bundle_size // 3 * 2)
+        )
+        self._ba_calls = B * sum(1 for j in range(1, L) if j % cadence == 0)
         self.tables.append(jax.tree_util.tree_map(lambda x: x[0], state.table))
         self.map = jax.tree_util.tree_map(lambda x: x[0], state.map)
         return self._finish()

@@ -19,7 +19,12 @@ from pmv_tpu.core.state import FeatureTable, MapState, has_neighbor
 from pmv_tpu.frontend import corners
 from pmv_tpu.frontend import lucas_kanade as lk
 
-FLIP = jnp.diag(jnp.array([1.0, 1.0, -1.0]))
+# numpy, NOT jnp: a module-level device array would initialize the XLA
+# backend at import time, which must not happen before a possible
+# jax.distributed.initialize (multi-host bootstrap ordering).
+import numpy as _np
+
+FLIP = _np.diag(_np.array([1.0, 1.0, -1.0], _np.float32))
 
 
 @functools.partial(jax.jit, static_argnames=("win", "iters", "search"))

@@ -42,6 +42,83 @@ def draw_circle(img: np.ndarray, row: float, col: float, radius: int, color) -> 
     _put(img, row + yy[m], col + xx[m], color)
 
 
+def draw_line(img: np.ndarray, p0, p1, color) -> None:
+    """Line segment between (col, row) endpoints (dense sampling raster)."""
+    x0, y0 = float(p0[0]), float(p0[1])
+    x1, y1 = float(p1[0]), float(p1[1])
+    n = max(2, int(2 * max(abs(x1 - x0), abs(y1 - y0))) + 1)
+    ts = np.linspace(0.0, 1.0, n)
+    _put(img, np.rint(y0 + ts * (y1 - y0)), np.rint(x0 + ts * (x1 - x0)), color)
+
+
+def _y_rotation(R: np.ndarray, flip: bool = False) -> float:
+    """Reference calcYRotation (include/OdometryPipeline.h:89-108): yaw from
+    R[0,0]/R[0,2] with the sign convention selected by ``flip``."""
+    import math
+
+    c = float(np.clip(R[0][0], -1.0, 1.0))
+    s = float(R[0][2])
+    ang = math.acos(c)
+    if flip:
+        return -ang if s <= 0 else ang
+    return ang if s <= 0 else -ang
+
+
+def draw_rotated_rect(
+    img: np.ndarray, center, size, angle_deg: float, color
+) -> None:
+    """Rotated rectangle outline, vertex layout exactly as
+    cv::RotatedRect::points (the reference draws its pose markers with it,
+    OdometryPipeline.cpp:130-148): ``angle_deg`` clockwise, ``size`` =
+    (width, height), center in (col, row)."""
+    import math
+
+    ang = angle_deg * math.pi / 180.0
+    b = math.cos(ang) * 0.5
+    a = math.sin(ang) * 0.5
+    w, h = float(size[0]), float(size[1])
+    cx, cy = float(center[0]), float(center[1])
+    p0 = (cx - a * h - b * w, cy + b * h - a * w)
+    p1 = (cx + a * h - b * w, cy - b * h - a * w)
+    p2 = (2 * cx - p0[0], 2 * cy - p0[1])
+    p3 = (2 * cx - p1[0], 2 * cy - p1[1])
+    pts = [p0, p1, p2, p3]
+    for i in range(4):
+        draw_line(img, pts[i], pts[(i + 1) % 4], color)
+
+
+def _draw_pose_rects(
+    m: np.ndarray,
+    t_est,
+    gt_t,
+    R_est,
+    gt_R,
+    init_offset: int,
+    map_scale: float,
+) -> None:
+    """Estimated (green) and ground-truth (red) rotated pose rectangles for
+    the LAST trajectory entry, exactly as OdometryPipeline.cpp:130-148:
+    10x15 rect, yaw from calcYRotation, and the reference's own quirks kept —
+    the position casts the coordinate to int BEFORE scaling, and the GT
+    rectangle's rotation reads gt_R[j] (trajectory index, NOT offset by
+    init_offset, unlike its position)."""
+    cx = MAP_SIZE // 2
+    cy = int(MAP_SIZE / 1.2)
+    j = len(t_est) - 1
+    if j < 0 or R_est is None:
+        return
+    x = cx + int(t_est[j][0]) * map_scale
+    y = cy + int(t_est[j][2]) * map_scale
+    ang = _y_rotation(np.asarray(R_est[j])) / 3.1416 * 180.0
+    draw_rotated_rect(m, (x, y), (10, 15), ang, GREEN)
+    g = j + init_offset
+    if gt_R is not None and g < len(gt_t) and j < len(gt_R):
+        x = cx + int(gt_t[g][0]) * map_scale
+        y = cy - int(gt_t[g][2]) * map_scale
+        ang = _y_rotation(np.asarray(gt_R[j]), flip=True) / 3.1416 * 180.0
+        draw_rotated_rect(m, (x, y), (10, 15), ang, RED)
+
+
 def draw_map(
     t_est: np.ndarray,
     gt_t: np.ndarray,
@@ -50,10 +127,14 @@ def draw_map(
     landmarks: np.ndarray | None = None,
     landmark_cols: np.ndarray | None = None,
     img_width: int = 1226,
+    R_est: np.ndarray | None = None,
+    gt_R: np.ndarray | None = None,
 ) -> np.ndarray:
     """Top-down map (MAP_SIZE x MAP_SIZE x 3 uint8) in the reference's frame:
     x -> map column from center, z -> map row from rows/1.2 (estimate uses
-    +z, ground truth -z, exactly as OdometryPipeline.cpp:131-168)."""
+    +z, ground truth -z, exactly as OdometryPipeline.cpp:131-168). When
+    ``R_est``/``gt_R`` are given, the current-pose rotated rectangles are
+    drawn (:130-148)."""
     m = np.zeros((MAP_SIZE, MAP_SIZE, 3), np.uint8)
     cx = MAP_SIZE // 2
     cy = int(MAP_SIZE / 1.2)
@@ -70,12 +151,16 @@ def draw_map(
         _put(m, r[color_sel], c[color_sel], MAGENTA)
         _put(m, r[~color_sel], c[~color_sel], CYAN)
 
+    _draw_pose_rects(m, t_est, gt_t, R_est, gt_R, init_offset, map_scale)
+
     j = len(t_est) - 1
     for i in range(j + 1):
-        draw_circle(m, cy + int(t_est[i][2] * map_scale), cx + int(t_est[i][0] * map_scale), 1, GREEN)
+        # Reference path tracing casts the coordinate to int BEFORE scaling
+        # (OdometryPipeline.cpp:152-167) — bug-compatible on purpose.
+        draw_circle(m, cy + int(t_est[i][2]) * map_scale, cx + int(t_est[i][0]) * map_scale, 1, GREEN)
         g = i + init_offset
         if g < len(gt_t):
-            draw_circle(m, cy - int(gt_t[g][2] * map_scale), cx + int(gt_t[g][0] * map_scale), 1, RED)
+            draw_circle(m, cy - int(gt_t[g][2]) * map_scale, cx + int(gt_t[g][0]) * map_scale, 1, RED)
     return m
 
 
@@ -97,6 +182,52 @@ def annotate_frame(
     return rgb
 
 
+class LiveMapRenderer:
+    """Per-frame trajectory map, replayed exactly like the reference draws it
+    while running (drawMap is called once per processed frame,
+    OdometryPipeline.cpp:413): frame k's map shows the path prefix [0, k],
+    the pose rectangles at k, and the landmark dots. The path prefix is
+    accumulated incrementally (the redrawn circles are identical every
+    frame), so a full replay is O(n) circles, not O(n^2)."""
+
+    def __init__(self, pipe):
+        self.t = [np.asarray(x) for x in pipe.t]
+        self.R = [np.asarray(x) for x in pipe.R]
+        self.gt_t = pipe.gt_t
+        self.gt_R = pipe.gt_R
+        self.off = pipe.init_offset
+        self.scale = pipe.cfg.map_scale
+        self.base = np.zeros((MAP_SIZE, MAP_SIZE, 3), np.uint8)
+        self.k = -1
+
+    def render(self, k: int, landmarks=None, landmark_cols=None,
+               img_width: int = 1226) -> np.ndarray:
+        """Map as of trajectory entry ``k`` (monotonically increasing)."""
+        cx = MAP_SIZE // 2
+        cy = int(MAP_SIZE / 1.2)
+        k = min(k, len(self.t) - 1)
+        while self.k < k:
+            self.k += 1
+            i = self.k
+            draw_circle(self.base, cy + int(self.t[i][2]) * self.scale,
+                        cx + int(self.t[i][0]) * self.scale, 1, GREEN)
+            g = i + self.off
+            if g < len(self.gt_t):
+                draw_circle(self.base, cy - int(self.gt_t[g][2]) * self.scale,
+                            cx + int(self.gt_t[g][0]) * self.scale, 1, RED)
+        m = self.base.copy()
+        if landmarks is not None and len(landmarks):
+            cols = landmark_cols if landmark_cols is not None else np.zeros(len(landmarks))
+            sel = cols > img_width / 2
+            r = cy + (landmarks[:, 2] * self.scale).astype(int)
+            c = cx + (landmarks[:, 0] * self.scale).astype(int)
+            _put(m, r[sel], c[sel], MAGENTA)
+            _put(m, r[~sel], c[~sel], CYAN)
+        _draw_pose_rects(m, self.t[: k + 1], self.gt_t, self.R[: k + 1],
+                         self.gt_R, self.off, self.scale)
+        return m
+
+
 def save_run_visuals(pipe, out_dir: str | Path | None = None) -> dict:
     """Post-run artifacts: trajectory map PNG (+ AVI when video_path set)."""
     from pmv_tpu.io.png import write_png
@@ -111,6 +242,8 @@ def save_run_visuals(pipe, out_dir: str | Path | None = None) -> dict:
         pipe.init_offset,
         pipe.cfg.map_scale,
         landmarks=lms,
+        R_est=[np.asarray(x) for x in pipe.R],
+        gt_R=pipe.gt_R,
     )
     map_path = out / "map.png"
     write_png(map_path, m)
@@ -130,21 +263,29 @@ def save_run_visuals(pipe, out_dir: str | Path | None = None) -> dict:
         writer = AVIWriter(pipe.cfg.video_path, fps=10)
         start = pipe.init_offset
         stop = min(pipe.cfg.frames, len(pipe.file_names))
+        live = LiveMapRenderer(pipe) if pipe.cfg.fancy_video else None
         for idx, img in FramePrefetcher(pipe.file_names[start:stop]):
-            k = idx  # frame table index
-            if k >= len(pipe.tables):
+            k = idx  # trajectory index
+            if k >= len(pipe.t):
                 break
-            tbl = pipe.tables[k]
-            frame = annotate_frame(img, np.asarray(tbl.xy), np.asarray(tbl.valid))
+            # Per-frame feature tables exist on the modular/chunk_frames=1
+            # paths; the fused path keeps only the first and last table —
+            # frames in between get the map overlay but no crosses.
+            if k < len(pipe.tables):
+                tbl = pipe.tables[k]
+                frame = annotate_frame(img, np.asarray(tbl.xy), np.asarray(tbl.valid))
+            else:
+                frame = np.stack([np.clip(img, 0, 255).astype(np.uint8)] * 3, -1)
             if pipe.cfg.fancy_video:
-                # Reference fancy_video: alpha-blend the live map into a
-                # square region of the frame (OdometryPipeline.cpp:415-422,
-                # alpha 0.75).
+                # Reference fancy_video: alpha-blend the LIVE per-frame map
+                # into a square region of the frame
+                # (OdometryPipeline.cpp:413-422, alpha 0.75).
+                mk = live.render(k, landmarks=lms)
                 side = min(frame.shape[0], frame.shape[1])
                 # nearest-neighbor resize of the map to (side, side)
-                ys = (np.arange(side) * (m.shape[0] / side)).astype(int)
-                xs = (np.arange(side) * (m.shape[1] / side)).astype(int)
-                m_small = m[ys][:, xs]
+                ys = (np.arange(side) * (mk.shape[0] / side)).astype(int)
+                xs = (np.arange(side) * (mk.shape[1] / side)).astype(int)
+                m_small = mk[ys][:, xs]
                 roi = frame[:side, :side].astype(np.float32)
                 frame[:side, :side] = np.clip(
                     0.75 * m_small + 0.25 * roi, 0, 255

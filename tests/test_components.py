@@ -93,6 +93,63 @@ class TestViz:
         assert m.shape == (511, 511, 3)
         assert m.sum() > 0  # something drawn
 
+    def test_pose_rectangles_drawn(self):
+        """Estimated (green) + GT (red) rotated pose rectangles
+        (OdometryPipeline.cpp:130-148)."""
+        t_est = [np.array([0.0, 0, 0]), np.array([5.0, 0, -8.0])]
+        R_est = [np.eye(3), np.eye(3)]
+        gt = np.array([[0.0, 0, 0], [-12.0, 0, 8.0]])
+        gt_R = np.stack([np.eye(3), np.eye(3)])
+        base = render.draw_map(t_est, gt, 0, 5.0)
+        with_rects = render.draw_map(t_est, gt, 0, 5.0, R_est=R_est, gt_R=gt_R)
+        # rectangles add green and red pixels beyond the path circles
+        extra = (with_rects != base).any(axis=-1)
+        assert extra.sum() > 20
+        assert (with_rects[extra] == render.GREEN).all(axis=-1).any()
+        assert (with_rects[extra] == render.RED).all(axis=-1).any()
+
+    def test_rotated_rect_matches_opencv_layout(self):
+        """Vertices must follow cv::RotatedRect::points for a 90-degree
+        rotation: a (10, 15) rect rotated 90 deg covers the transposed
+        extents around the center."""
+        img = np.zeros((64, 64, 3), np.uint8)
+        render.draw_rotated_rect(img, (32, 32), (10, 15), 90.0, render.GREEN)
+        on = np.argwhere(img.any(axis=-1))
+        rows = on[:, 0]
+        cols = on[:, 1]
+        # height axis is now horizontal: cols span ~15, rows span ~10
+        assert 13 <= cols.max() - cols.min() <= 17
+        assert 8 <= rows.max() - rows.min() <= 12
+
+    def test_live_map_grows_over_time(self):
+        """The fancy-video map must evolve per frame (the reference blends
+        the LIVE map, OdometryPipeline.cpp:413-422)."""
+
+        class FakePipe:
+            pass
+
+        pipe = FakePipe()
+        n = 6
+        pipe.t = [np.array([2.0 * i, 0.0, -3.0 * i]) for i in range(n)]
+        pipe.R = [np.eye(3) for _ in range(n)]
+        pipe.gt_t = np.stack([[2.0 * i, 0.0, 3.0 * i] for i in range(n)])
+        pipe.gt_R = np.stack([np.eye(3)] * n)
+        pipe.init_offset = 0
+
+        class Cfg:
+            map_scale = 5.0
+
+        pipe.cfg = Cfg()
+        live = render.LiveMapRenderer(pipe)
+        m0 = live.render(0)
+        m_mid = live.render(2)
+        m_end = live.render(n - 1)
+        # strictly growing path coverage
+        assert (m0.any(axis=-1)).sum() < (m_mid.any(axis=-1)).sum() < (m_end.any(axis=-1)).sum()
+        # final live frame contains everything draw_map draws for the path
+        full = render.draw_map(pipe.t, pipe.gt_t, 0, 5.0, R_est=pipe.R, gt_R=pipe.gt_R)
+        assert (m_end == full).all()
+
     def test_annotate(self):
         img = np.zeros((32, 64), np.float32)
         out = render.annotate_frame(img, np.array([[10.0, 10.0], [50.0, 20.0]]),

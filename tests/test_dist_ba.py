@@ -97,32 +97,42 @@ class TestDistributedBA:
             return jax.jit(solver).lower(*args).compile().as_text()
 
         def comm_profile(hlo):
-            ops = [
-                ln for ln in hlo.splitlines()
-                if ("all-reduce(" in ln or "all-reduce-start(" in ln)
-                and "=" in ln
-            ]
-            # payload element count of each collective, from the result shape
-            # e.g. "f32[30,30]{...} all-reduce(...)"
+            """(count, total result elements) over EVERY collective op —
+            all-reduce, all-gather, reduce-scatter, collective-permute,
+            all-to-all (and their async -start forms). Result shapes are the
+            text between '=' and the op name; tuple-shaped results sum all
+            members (re.findall, not a single re.search)."""
             import re
 
-            sizes = []
-            for ln in ops:
-                m = re.search(r"(?:f32|f64)\[([0-9,]*)\]\S* all-reduce", ln)
-                if m:
-                    dims = [int(d) for d in m.group(1).split(",") if d]
+            op_re = re.compile(
+                r"=\s*(\(?[^=]*?\)?)\s*"
+                r"(all-reduce|all-gather|reduce-scatter|collective-permute|"
+                r"all-to-all)(-start)?\("
+            )
+            shape_re = re.compile(
+                r"(?:f64|f32|bf16|f16|s32|u32|s8|u8|pred)\[([0-9,]*)\]"
+            )
+            n = 0
+            elems = 0
+            for ln in hlo.splitlines():
+                m = op_re.search(ln)
+                if not m:
+                    continue
+                n += 1
+                for sm in shape_re.finditer(m.group(1)):
+                    dims = [int(d) for d in sm.group(1).split(",") if d]
                     sz = 1
                     for d in dims:
                         sz *= d
-                    sizes.append(sz)
-            return len(ops), sum(sizes)
+                    elems += sz
+            return n, elems
 
-        n64, bytes64 = comm_profile(hlo_for(64))
-        n256, bytes256 = comm_profile(hlo_for(256))
-        assert n64 > 0, "expected all-reduces in the sharded solver"
+        n64, elems64 = comm_profile(hlo_for(64))
+        n256, elems256 = comm_profile(hlo_for(256))
+        assert n64 > 0, "expected collectives in the sharded solver"
         assert n256 == n64, f"collective count grew with L: {n64} -> {n256}"
-        assert bytes256 == bytes64, (
-            f"collective payload grew with L: {bytes64} -> {bytes256}"
+        assert elems256 == elems64, (
+            f"collective payload grew with L: {elems64} -> {elems256}"
         )
 
     def test_runs_on_8_lm_shards(self):
