@@ -89,6 +89,11 @@ class VOConfig:
     # trajectory drift in our sweeps — set 8 for strict parity
     ba_window_obs: int = 4096      # max observations per BA window
     chunk_frames: int = 8          # frames per device dispatch (lax.scan chunk)
+    checkpoint_path: str = ""      # fused-state snapshot file ("" = off).
+    # The reference persists nothing (SURVEY.md section 5); production runs
+    # checkpoint the device-resident StepState for mid-sequence resume
+    checkpoint_every: int = 0      # frames between snapshots (0 = off)
+    resume: int = 0                # 1 = resume run() from checkpoint_path
     extractor: str = "good"        # good | shi_tomasi | fast
     essential_solver: str = "five_point"  # five_point (Nister, ref default) | eight_point
     matcher: str = "lk"            # lk | knn

@@ -449,22 +449,34 @@ class OdometryPipeline:
             ba_cadence=cfg.ba_cadence,
             traj_cap=max(2048, cfg.frames + 2),
         )
-        state = fused.init_state(
-            pyr=tuple(build_pyramid(jnp.asarray(img0), cfg.lk_levels)),
-            table=self.tables[0],
-            map_state=self.map,
-            cfg=step_cfg,
-        )
-
-        self._watch.tick()
         start = self.init_offset + 1
         stop = min(cfg.frames, len(self.file_names))
-        paths = self.file_names[start:stop]
+        resume = bool(cfg.resume) and cfg.checkpoint_path and Path(cfg.checkpoint_path).exists()
+        if resume:
+            from pmv_tpu.utils import checkpoint as ckpt_lib
+
+            state, _ = ckpt_lib.load_fused_state(cfg.checkpoint_path)
+            k_last = int(np.asarray(state.k))
+            self._log(f"Resumed fused state at frame {k_last} from {cfg.checkpoint_path}")
+        else:
+            state = fused.init_state(
+                pyr=tuple(build_pyramid(jnp.asarray(img0), cfg.lk_levels)),
+                table=self.tables[0],
+                map_state=self.map,
+                cfg=step_cfg,
+            )
+            k_last = 0
+
+        self._watch.tick()
+        paths = self.file_names[start + k_last : stop]
         # Pre-split all RANSAC keys once and keep them host-side: per-frame
-        # jax.random calls would each cost a device dispatch.
-        keys = np.asarray(jax.random.split(self._key, max(len(paths), 1)))
+        # jax.random calls would each cost a device dispatch. The split count
+        # covers the WHOLE dataset (not this run's frame range) so a resumed
+        # run draws the exact keys the uninterrupted run would have drawn.
+        keys = np.asarray(
+            jax.random.split(self._key, max(len(self.file_names) - start, 1))
+        )
         C = max(1, cfg.chunk_frames)
-        k_last = 0
         buf_img: list[np.ndarray] = []
         buf_gt: list[np.float32] = []
         buf_key: list[np.ndarray] = []
@@ -513,6 +525,26 @@ class OdometryPipeline:
                 buf_key = buf_key[take:]
             return state
 
+        def maybe_checkpoint(state, force=False):
+            """Periodic mid-run snapshot of the device-resident StepState
+            (double-buffering means it may lag k_last by up to 2 chunks; the
+            snapshot reads its own state.k on resume)."""
+            nonlocal last_saved
+            if not cfg.checkpoint_path:
+                return
+            due = cfg.checkpoint_every > 0 and (
+                k_last - last_saved >= cfg.checkpoint_every
+            )
+            if not (due or force):
+                return
+            from pmv_tpu.utils import checkpoint as ckpt_lib
+
+            tmp = Path(str(cfg.checkpoint_path) + ".tmp.npz")
+            ckpt_lib.save_fused_state(state, tmp)
+            tmp.replace(cfg.checkpoint_path)
+            last_saved = k_last
+
+        last_saved = k_last
         for _, img in FramePrefetcher(paths):
             k = k_last + 1
             g = k - 1 + self.init_offset
@@ -524,9 +556,11 @@ class OdometryPipeline:
             k_last = k
             if len(buf_img) == C:
                 state = enqueue(state)
+                maybe_checkpoint(state)
         state = enqueue(state)
         if pending is not None:
             state = dispatch(state, pending)
+        maybe_checkpoint(state, force=bool(cfg.checkpoint_path))
         self.tables.append(state.table)
         # Exact BA-call count of the fused loop: chunk_step fires BA after
         # frame k at j = k_new - 1, i.e. j ranges over [1, k_last).

@@ -43,6 +43,80 @@ def save(pipe, path: str | Path) -> None:
     )
 
 
+def save_fused_state(state, path: str | Path, **meta) -> None:
+    """Snapshot a fused-loop ``StepState`` (pipeline/fused.py) mid-run.
+
+    Everything the production loop threads on device is persisted: the
+    per-level LK template blocks, the feature table, the landmark map, the
+    current/delta poses, the trajectory history, and the BA window ring —
+    so ``chunk_step`` can resume mid-sequence bit-identically."""
+    data: dict = {"fused_version": FORMAT_VERSION, "n_levels": len(state.blocks)}
+    for lvl, (reg, r0, c0) in enumerate(state.blocks):
+        data[f"blk{lvl}_region"] = np.asarray(reg)
+        data[f"blk{lvl}_r0"] = np.asarray(r0)
+        data[f"blk{lvl}_c0"] = np.asarray(c0)
+    for name in ("xy", "valid", "landmark", "score"):
+        data[f"tbl_{name}"] = np.asarray(getattr(state.table, name))
+    for name in ("xyz", "alive", "head"):
+        data[f"map_{name}"] = np.asarray(getattr(state.map, name))
+    for name in (
+        "R", "t", "R_s", "t_s", "scale", "k",
+        "R_hist", "t_hist", "win_xy", "win_valid", "win_lm",
+    ):
+        data[name] = np.asarray(getattr(state, name))
+    for key, val in meta.items():
+        data[f"meta_{key}"] = val
+    np.savez_compressed(path, **data)
+
+
+def load_fused_state(path: str | Path):
+    """Restore a fused-loop StepState. Returns (state, meta dict)."""
+    from pmv_tpu.pipeline.fused import StepState
+
+    z = np.load(path)
+    if int(z["fused_version"]) != FORMAT_VERSION:
+        raise ValueError(
+            f"fused checkpoint version {z['fused_version']} != {FORMAT_VERSION}"
+        )
+    blocks = tuple(
+        (
+            jnp.asarray(z[f"blk{lvl}_region"]),
+            jnp.asarray(z[f"blk{lvl}_r0"]),
+            jnp.asarray(z[f"blk{lvl}_c0"]),
+        )
+        for lvl in range(int(z["n_levels"]))
+    )
+    state = StepState(
+        blocks=blocks,
+        table=FeatureTable(
+            xy=jnp.asarray(z["tbl_xy"]),
+            valid=jnp.asarray(z["tbl_valid"]),
+            landmark=jnp.asarray(z["tbl_landmark"]),
+            score=jnp.asarray(z["tbl_score"]),
+        ),
+        map=MapState(
+            xyz=jnp.asarray(z["map_xyz"]),
+            alive=jnp.asarray(z["map_alive"]),
+            head=jnp.asarray(z["map_head"]),
+        ),
+        R=jnp.asarray(z["R"]),
+        t=jnp.asarray(z["t"]),
+        R_s=jnp.asarray(z["R_s"]),
+        t_s=jnp.asarray(z["t_s"]),
+        scale=jnp.asarray(z["scale"]),
+        k=jnp.asarray(z["k"]),
+        R_hist=jnp.asarray(z["R_hist"]),
+        t_hist=jnp.asarray(z["t_hist"]),
+        win_xy=jnp.asarray(z["win_xy"]),
+        win_valid=jnp.asarray(z["win_valid"]),
+        win_lm=jnp.asarray(z["win_lm"]),
+    )
+    meta = {
+        key[len("meta_"):]: z[key] for key in z.files if key.startswith("meta_")
+    }
+    return state, meta
+
+
 def load(pipe, path: str | Path) -> None:
     """Restore a snapshot into an OdometryPipeline (same config/dataset)."""
     z = np.load(path)
