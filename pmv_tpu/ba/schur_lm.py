@@ -116,6 +116,14 @@ def assemble_blocks(tr, lm, obs_uv, obs_pose, obs_lm, obs_mask, pose_free, K, de
     r = jax.vmap(res_one)(tr_o, lm_o, obs_uv)  # (O, 2)
     Jp = jax.vmap(jax.jacfwd(res_one, argnums=0))(tr_o, lm_o, obs_uv)  # (O, 2, 6)
     Jl = jax.vmap(jax.jacfwd(res_one, argnums=1))(tr_o, lm_o, obs_uv)  # (O, 2, 3)
+    # Masked observations must be inert even when their residual is NaN/Inf
+    # (padded slots index arbitrary pose/landmark pairs — e.g. an all-pad
+    # landmark shard projects landmark 0 from pose 0, which divides by z=0
+    # when pose 0 sits at the origin; NaN * 0-weight is still NaN and one
+    # such slot would poison the psummed normal equations).
+    r = jnp.where(obs_mask[:, None], r, 0.0)
+    Jp = jnp.where(obs_mask[:, None, None], Jp, 0.0)
+    Jl = jnp.where(obs_mask[:, None, None], Jl, 0.0)
 
     r2 = jnp.sum(r * r, axis=-1)
     w = geo.huber_weight(r2, delta) * obs_mask  # IRLS weights (O,)

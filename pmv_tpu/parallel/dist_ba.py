@@ -75,9 +75,21 @@ def partition_obs_by_landmark(
 
 
 def _window_lm_loop(tr, lm, obs_uv, obs_pose, obs_lm, obs_mask, pose_free, K,
-                    iters: int, delta: float, axis: str):
+                    iters: int, delta: float, axis: str, mode: str = "schur"):
     """LM loop for ONE window with landmark-sharded blocks (runs inside
-    shard_map; arrays here are the per-shard locals)."""
+    shard_map; arrays here are the per-shard locals).
+
+    mode="schur": full joint LM step via the Schur complement (fastest
+    convergence; the window needs its gauge fixed externally, e.g. pinned
+    poses, or free landmarks can slide the whole solution).
+
+    mode="alternate": block coordinate descent — a pose step against FIXED
+    landmarks (each pose an independent damped 6x6 solve; the map anchors
+    the gauge, so NO poses need pinning beyond true anchors) followed by a
+    local landmark step against fixed poses. This is the trajectory-
+    refinement mode: cost decrease cannot trade off against gauge drift.
+    Communication per iteration is the same O(P^2) psum either way.
+    """
 
     def local_cost(tr_, lm_):
         r = obs_uv - jax.vmap(lambda t6, x3: schur_lm.geo.ba_project(t6, x3, K))(
@@ -87,7 +99,10 @@ def _window_lm_loop(tr, lm, obs_uv, obs_pose, obs_lm, obs_mask, pose_free, K,
         c = jnp.where(obs_mask, schur_lm._huber_cost(r2, delta), 0.0)
         return jax.lax.psum(jnp.sum(c), axis)
 
-    def body(carry, _):
+    eye6 = jnp.eye(6, dtype=tr.dtype)
+    eye3 = jnp.eye(3, dtype=lm.dtype)
+
+    def body_schur(carry, _):
         tr_, lm_, lam, cost = carry
         U, V, Wc, b_pose, b_lm, has_obs = assemble_blocks(
             tr_, lm_, obs_uv, obs_pose, obs_lm, obs_mask, pose_free, K, delta
@@ -105,6 +120,37 @@ def _window_lm_loop(tr, lm, obs_uv, obs_pose, obs_lm, obs_mask, pose_free, K,
         cost = jnp.where(accept, cost_try, cost)
         return (tr_, lm_, lam, cost), cost
 
+    def body_alternate(carry, _):
+        tr_, lm_, lam, cost = carry
+        # --- pose step (landmarks fixed): U is block-diagonal, each free
+        # pose solves its own damped 6x6 normal system ---
+        U, _, _, b_pose, _, _ = assemble_blocks(
+            tr_, lm_, obs_uv, obs_pose, obs_lm, obs_mask, pose_free, K, delta
+        )
+        U = jax.lax.psum(U, axis)
+        b_pose = jax.lax.psum(b_pose, axis)
+        U_d = U + lam * (U * eye6) + 1e-9 * eye6
+        dp = jnp.linalg.solve(U_d, b_pose[..., None])[..., 0]
+        tr_try = tr_ + dp * pose_free[:, None]
+        cost_try = local_cost(tr_try, lm_)
+        accept = cost_try < cost
+        tr_ = jnp.where(accept, tr_try, tr_)
+        cost = jnp.where(accept, cost_try, cost)
+        # --- landmark step (poses fixed): shard-local 3x3 solves ---
+        _, V, _, _, b_lm, has_obs = assemble_blocks(
+            tr_, lm_, obs_uv, obs_pose, obs_lm, obs_mask, pose_free, K, delta
+        )
+        V_d = V + lam * (V * eye3) + 1e-9 * eye3
+        dx = schur_lm._inv3x3(V_d) @ b_lm[..., None]
+        lm_try = lm_ + dx[..., 0] * has_obs[:, None]
+        cost_try = local_cost(tr_, lm_try)
+        accept = cost_try < cost
+        lm_ = jnp.where(accept, lm_try, lm_)
+        cost = jnp.where(accept, cost_try, cost)
+        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-9), jnp.minimum(lam * 4.0, 1e6))
+        return (tr_, lm_, lam, cost), cost
+
+    body = body_schur if mode == "schur" else body_alternate
     cost0 = local_cost(tr, lm)
     (tr, lm, _, cost), _ = jax.lax.scan(
         body, (tr, lm, jnp.asarray(1e-4, tr.dtype), cost0), None, length=iters
@@ -112,8 +158,14 @@ def _window_lm_loop(tr, lm, obs_uv, obs_pose, obs_lm, obs_mask, pose_free, K,
     return tr, lm, cost0, cost
 
 
-def make_distributed_ba(mesh: Mesh, iters: int = 5, delta: float = 1.0):
+def make_distributed_ba(
+    mesh: Mesh, iters: int = 5, delta: float = 1.0, mode: str = "schur"
+):
     """Build a jitted, shard_mapped multi-window BA solver on ``mesh``.
+
+    ``mode``: "schur" (joint LM, needs per-window gauge pins) or "alternate"
+    (pose/landmark block descent, gauge anchored by the map — see
+    ``_window_lm_loop``).
 
     Expected (global) shapes, D windows, L landmarks (divisible by the mesh),
     O observations per window (divisible by the lm axis):
@@ -136,7 +188,7 @@ def make_distributed_ba(mesh: Mesh, iters: int = 5, delta: float = 1.0):
         def one_window(tr_w, lm_w, uv_w, pose_w, lml_w, mask_w, free_w):
             return _window_lm_loop(
                 tr_w, lm_w, uv_w, pose_w, lml_w, mask_w, free_w, K,
-                iters=iters, delta=delta, axis="lm",
+                iters=iters, delta=delta, axis="lm", mode=mode,
             )
 
         return jax.vmap(one_window)(

@@ -28,8 +28,15 @@ from pmv_tpu.core import geometry as geo
 from pmv_tpu.parallel import dist_ba, pose_graph
 
 
-def build_window_problems(pipe, window: int = 8, overlap: int = 2):
+def build_window_problems(pipe, window: int = 8, overlap: int = 2,
+                          pin: int = 0):
     """Slice a finished pipeline run into overlapping BA windows.
+
+    ``pin`` — number of leading poses pinned per window. The alternate-mode
+    solver (the refinement default) needs NO pins: the landmark map anchors
+    each window's gauge during the pose step. Joint-Schur mode needs pin=2
+    (6-DOF gauge + monocular scale), at the price of inheriting those poses'
+    errors.
 
     Returns (frame_ranges, tr (D, P, 6), lm_copies (D, L, 3), obs arrays,
     pose_free (D, P)) as numpy, one row per window.
@@ -57,9 +64,9 @@ def build_window_problems(pipe, window: int = 8, overlap: int = 2):
                     jnp.asarray(pipe.t[f], jnp.float32),
                 )
             )
-            # Pin the first two poses of each window: fixes the 6-DOF gauge
-            # and the monocular scale within the window.
-            free[i] = i >= 2 and f != 0
+            # Global frame 0 is always a true anchor; further pins only when
+            # the solver mode requires external gauge fixing.
+            free[i] = i >= pin and f != 0
             tbl = pipe.tables[f]
             xy = np.asarray(tbl.xy)
             valid = np.asarray(tbl.valid)
@@ -87,13 +94,19 @@ def global_bundle_adjust(
     window: int = 8,
     overlap: int = 2,
     iters: int = 5,
+    mode: str = "alternate",
 ) -> tuple[list[np.ndarray], list[np.ndarray]]:
     """Refine the whole trajectory with mesh-parallel windowed BA + pose
-    graph. Returns (R_list, t_list); also updates pipe.R / pipe.t."""
+    graph. Returns (R_list, t_list); also updates pipe.R / pipe.t.
+
+    ``mode="alternate"`` (default) alternates map-anchored pose steps with
+    local landmark steps — gauge-free per window, so a drifted trajectory is
+    pulled back toward the map instead of the window sliding to fit its own
+    noise (which joint Schur with pinned noisy poses does)."""
     n_lm_shards = mesh.shape["lm"]
     dp = mesh.shape["dp"]
     ranges, tr_list, free_list, obs_list, map_xyz, L = build_window_problems(
-        pipe, window, overlap
+        pipe, window, overlap, pin=0 if mode == "alternate" else 2
     )
     D = len(ranges)
 
@@ -127,7 +140,7 @@ def global_bundle_adjust(
     lm_pad = np.zeros((L_pad, 3), np.float32)
     lm_pad[:L] = map_xyz
 
-    solver = dist_ba.make_distributed_ba(mesh, iters=iters)
+    solver = dist_ba.make_distributed_ba(mesh, iters=iters, mode=mode)
     window_R: list[np.ndarray] = [None] * D
     window_t: list[np.ndarray] = [None] * D
 

@@ -69,7 +69,8 @@ class TestMultiSeq:
 
 
 class TestGlobalRefine:
-    def test_refine_improves_or_preserves_trajectory(self, tmp_path):
+    @staticmethod
+    def _run_pipe(tmp_path):
         seq = synthetic.make_sequence(n_frames=24, shape=(128, 256), density=60, seed=5)
         paths = synthetic.write_kitti_layout(seq, tmp_path)
         cfg = VOConfig(
@@ -84,26 +85,63 @@ class TestGlobalRefine:
         )
         pipe = OdometryPipeline(cfg)
         pipe.run_modular()
+        return pipe
+
+    @staticmethod
+    def _mean_err(pipe, ts, ref):
+        return float(
+            np.mean([np.linalg.norm(np.asarray(ts[i]) - ref[i]) for i in range(1, len(ts))])
+        )
+
+    @staticmethod
+    def _inject_drift(pipe, sigma_t=0.3, sigma_r=0.01, seed=7):
+        rng = np.random.default_rng(seed)
+        for i in range(2, len(pipe.t)):
+            pipe.t[i] = pipe.t[i] + rng.normal(0, sigma_t, 3)
+            w = rng.normal(0, sigma_r, 3)
+            th = np.linalg.norm(w)
+            k = w / (th + 1e-12)
+            Kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+            dR = np.eye(3) + np.sin(th) * Kx + (1 - np.cos(th)) * Kx @ Kx
+            pipe.R[i] = dR @ pipe.R[i]
+
+    def test_refine_improves_drifted_trajectory(self, tmp_path):
+        """The flagship offline-refinement layer must DEMONSTRABLY pull a
+        drifted trajectory back: inject pose noise into a finished run and
+        require a strict error reduction (VERDICT round-1 item 5)."""
+        pipe = self._run_pipe(tmp_path)
+        clean_t = [np.asarray(x).copy() for x in pipe.t]
         gt = pipe.gt_t.copy()
         gt[:, 2] *= -1
+        gt_ref = [gt[i + pipe.init_offset] for i in range(len(pipe.t))]
 
-        def mean_err(ts):
-            return float(
-                np.mean(
-                    [
-                        np.linalg.norm(ts[i] - gt[i + pipe.init_offset])
-                        for i in range(1, len(ts))
-                    ]
-                )
-            )
+        self._inject_drift(pipe)
+        noise_before = self._mean_err(pipe, pipe.t, clean_t)
+        gt_before = self._mean_err(pipe, pipe.t, gt_ref)
 
-        before = mean_err([np.asarray(x) for x in pipe.t])
         m = mesh_lib.make_mesh(dp=2, lm=4)
         R_out, t_out = global_refine.global_bundle_adjust(
-            pipe, m, window=6, overlap=2, iters=4
+            pipe, m, window=8, overlap=4, iters=8
         )
-        after = mean_err([np.asarray(x) for x in pipe.t])
         assert len(R_out) == len(t_out)
         assert np.isfinite(np.stack(t_out)).all()
-        # refinement must not blow the trajectory up
-        assert after < before * 1.5 + 0.5, f"{before} -> {after}"
+        noise_after = self._mean_err(pipe, pipe.t, clean_t)
+        gt_after = self._mean_err(pipe, pipe.t, gt_ref)
+        # strictly better against ground truth...
+        assert gt_after < gt_before, f"GT err {gt_before} -> {gt_after}"
+        # ...and the injected noise itself must shrink at least 2x
+        assert noise_after < noise_before / 2, (
+            f"noise {noise_before} -> {noise_after}"
+        )
+
+    def test_refine_preserves_clean_trajectory(self, tmp_path):
+        """Refining an already-converged run must not degrade it."""
+        pipe = self._run_pipe(tmp_path)
+        gt = pipe.gt_t.copy()
+        gt[:, 2] *= -1
+        gt_ref = [gt[i + pipe.init_offset] for i in range(len(pipe.t))]
+        before = self._mean_err(pipe, pipe.t, gt_ref)
+        m = mesh_lib.make_mesh(dp=2, lm=4)
+        global_refine.global_bundle_adjust(pipe, m, window=8, overlap=4, iters=8)
+        after = self._mean_err(pipe, pipe.t, gt_ref)
+        assert after < before * 1.1 + 0.02, f"{before} -> {after}"
