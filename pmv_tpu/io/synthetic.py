@@ -27,11 +27,17 @@ KITTI_SHAPE = (370, 1226)  # (H, W) of KITTI odometry grayscale frames
 
 
 def make_trajectory(n_frames: int, speed: float = 1.0, yaw_rate: float = 0.004,
-                    seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+                    seed: int = 0, turn_every: int = 0, turn_len: int = 12,
+                    turn_yaw: float = 0.06) -> tuple[np.ndarray, np.ndarray]:
     """Smooth forward trajectory: (R (T,3,3), t (T,3)) in KITTI convention.
 
     The camera drives forward (+z in its own frame) at ``speed`` m/frame,
     with a slowly varying yaw. Mimics KITTI 07 scale (~1 m/frame).
+
+    ``turn_every`` > 0 inserts sharp alternating turns (KITTI-07-style
+    intersections): every ``turn_every`` frames, ``turn_len`` frames of
+    ``turn_yaw`` rad/frame extra yaw — the stress profile that exercises the
+    motion gate and the reseed path the way real corners do.
     """
     rng = np.random.default_rng(seed)
     yaw = 0.0
@@ -40,6 +46,14 @@ def make_trajectory(n_frames: int, speed: float = 1.0, yaw_rate: float = 0.004,
     # smooth yaw-rate noise
     rates = yaw_rate * np.cumsum(rng.normal(0, 0.3, n_frames))
     rates = rates - np.linspace(0, rates[-1], n_frames)
+    turn = np.zeros(n_frames)
+    if turn_every > 0:
+        sign = 1.0
+        k0 = turn_every
+        while k0 < n_frames:
+            turn[k0 : k0 + turn_len] = sign * turn_yaw
+            sign = -sign
+            k0 += turn_every + turn_len
     for k in range(n_frames):
         c, s = np.cos(yaw), np.sin(yaw)
         R = np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
@@ -47,7 +61,7 @@ def make_trajectory(n_frames: int, speed: float = 1.0, yaw_rate: float = 0.004,
         ts.append(pos.copy())
         forward = R @ np.array([0.0, 0.0, 1.0])
         pos = pos + speed * forward
-        yaw += yaw_rate + rates[k] * 0.05
+        yaw += yaw_rate + rates[k] * 0.05 + turn[k]
     return np.stack(Rs), np.stack(ts)
 
 
@@ -118,6 +132,46 @@ def render_frame(
     return np.clip(img, 0, 255.0)
 
 
+def apply_stressors(
+    img: np.ndarray,
+    frame_idx: int,
+    n_frames: int,
+    occluders: int = 0,
+    noise_std: float = 0.0,
+    flicker: float = 0.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """Photometric + occlusion stress on a rendered frame.
+
+    - ``occluders``: N texture-less rectangles sweeping across the view
+      (passing vehicles/poles) — they blank tracked features wholesale and
+      force the reseed path (tracked < tracked_features_tol).
+    - ``noise_std``: per-pixel Gaussian sensor noise (independent per frame).
+    - ``flicker``: sinusoidal global gain variation (auto-exposure hunting),
+      +-``flicker`` fractional amplitude.
+    Deterministic given (seed, frame_idx).
+    """
+    H, W = img.shape
+    out = img.copy()
+    if flicker > 0:
+        out *= 1.0 + flicker * np.sin(2 * np.pi * frame_idx / 17.0)
+    for j in range(occluders):
+        # constant-velocity sweep, staggered starts, wrapping
+        w = W // 6 + 13 * j % (W // 8)
+        h = H // 2 + 7 * j % (H // 4)
+        speed_px = 0.6 * W / max(n_frames, 1) * (1.5 + 0.5 * j)
+        x0 = int((j * W / max(occluders, 1) + frame_idx * speed_px) % (W + w)) - w
+        y0 = int(H * 0.15 + (j * 29) % max(H // 3, 1))
+        xa, xb = max(x0, 0), min(x0 + w, W)
+        ya, yb = max(y0, 0), min(y0 + h, H)
+        if xb > xa and yb > ya:
+            out[ya:yb, xa:xb] = 12.0  # flat, textureless
+    if noise_std > 0:
+        rng = np.random.default_rng((seed * 100003 + frame_idx) & 0x7FFFFFFF)
+        out += rng.normal(0, noise_std, out.shape)
+    return np.clip(out, 0, 255.0)
+
+
 def make_sequence(
     n_frames: int = 30,
     shape: tuple[int, int] = (192, 640),
@@ -126,20 +180,42 @@ def make_sequence(
     yaw_rate: float = 0.004,
     density: float = 60.0,
     seed: int = 0,
+    turn_every: int = 0,
+    turn_len: int = 12,
+    turn_yaw: float = 0.06,
+    occluders: int = 0,
+    noise_std: float = 0.0,
+    flicker: float = 0.0,
 ) -> dict:
-    """In-memory synthetic sequence: images (T,H,W) f32, gt_R, gt_t, K, world."""
+    """In-memory synthetic sequence: images (T,H,W) f32, gt_R, gt_t, K, world.
+
+    The stress knobs (``turn_every``/``occluders``/``noise_std``/``flicker``)
+    default to off — the smooth corridor remains the throughput benchmark;
+    the stress profile exercises the motion gate, reseed, and BA robustness
+    the way KITTI 07's corners and traffic do.
+    """
     H, W = shape
     if K is None:
         K = np.array(
             [[0.6 * W, 0.0, W / 2.0], [0.0, 0.6 * W, H / 2.0], [0.0, 0.0, 1.0]]
         )
-    gt_R, gt_t = make_trajectory(n_frames, speed=speed, yaw_rate=yaw_rate, seed=seed)
+    gt_R, gt_t = make_trajectory(
+        n_frames, speed=speed, yaw_rate=yaw_rate, seed=seed,
+        turn_every=turn_every, turn_len=turn_len, turn_yaw=turn_yaw,
+    )
     world = make_world(gt_R, gt_t, density=density, seed=seed)
     ids = np.arange(len(world))
-    imgs = np.stack(
-        [render_frame(K, gt_R[k], gt_t[k], world, shape, ids, seed) for k in range(n_frames)]
-    )
-    return {"images": imgs, "gt_R": gt_R, "gt_t": gt_t, "K": K, "world": world}
+    imgs = []
+    for k in range(n_frames):
+        img = render_frame(K, gt_R[k], gt_t[k], world, shape, ids, seed)
+        if occluders or noise_std > 0 or flicker > 0:
+            img = apply_stressors(
+                img, k, n_frames,
+                occluders=occluders, noise_std=noise_std, flicker=flicker,
+                seed=seed,
+            )
+        imgs.append(img)
+    return {"images": np.stack(imgs), "gt_R": gt_R, "gt_t": gt_t, "K": K, "world": world}
 
 
 def write_kitti_layout(seq: dict, out_dir: str | Path) -> dict[str, str]:

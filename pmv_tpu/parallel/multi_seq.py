@@ -33,7 +33,13 @@ def make_batched_chunk_step(mesh: Mesh | None, cfg: fused.StepConfig):
 
     Signature: (state (B, ...), imgs_u8 (B, C, H, W), gt_steps (B, C),
     keys (B, C, 2), K (3, 3)) -> (state, stats). With a mesh, the batch
-    dimension is sharded over the 'dp' axis.
+    dimension is sharded over the 'dp' axis via shard_map — NOT
+    jit-with-in_shardings: the SPMD partitioner turns the step's top_k ops
+    (corner extraction, RANSAC winner selection) into batch-dim all-gathers,
+    shipping every sequence's corner responses to every chip. shard_map
+    pins each device to its local batch slice, so the compiled program is
+    collective-free (asserted by
+    tests/test_parallel_flow.py::test_dp_step_has_no_collectives).
     """
     if cfg.response == "min_eig":
         cfg = cfg._replace(response="min_eig_xla")
@@ -44,12 +50,16 @@ def make_batched_chunk_step(mesh: Mesh | None, cfg: fused.StepConfig):
     batched = jax.vmap(one, in_axes=(0, 0, 0, 0, None))
     if mesh is None:
         return jax.jit(batched)
-    dp = NamedSharding(mesh, P("dp"))
-    rep = NamedSharding(mesh, P())
-    # A single sharding per argument acts as a pytree prefix: every leaf of
-    # the batched StepState is sharded along its leading (batch) axis.
-    return jax.jit(
+    from jax import shard_map
+
+    dp = P("dp")
+    sharded = shard_map(
         batched,
-        in_shardings=(dp, dp, dp, dp, rep),
-        out_shardings=(dp, dp),
+        mesh=mesh,
+        # Pytree-prefix specs: every StepState/stats leaf shards along its
+        # leading (batch) axis; K is replicated.
+        in_specs=(dp, dp, dp, dp, P()),
+        out_specs=(dp, dp),
+        check_vma=False,
     )
+    return jax.jit(sharded)

@@ -67,6 +67,53 @@ class TestMultiSeq:
         # every sequence tracked a healthy number of features
         assert (np.asarray(stats["tracked"]) > 10).all()
 
+    def test_dp_step_has_no_collectives(self):
+        """Scaling contract of the dp axis: sequences are independent, so
+        the compiled batched chunk step must contain ZERO cross-device
+        collectives — dp throughput scales with chips, limited only by the
+        host input feed (the communication half of BASELINE.md's >=70%
+        efficiency target; the lm-axis half is test_dist_ba's constant-comm
+        test)."""
+        import re
+
+        B, C, H, W, N, M = 8, 2, 64, 96, 32, 128
+        m = mesh_lib.make_mesh(dp=8, lm=1)
+        cfg = fused.StepConfig(
+            lk_levels=2, lk_window=9, lk_iters=3, tile_h=H, tile_w=W,
+            n_per_tile=16, tracked_tol=8, e_hypos=16, pnp_hypos=16,
+            bundle_size=3, ba_iters=1, traj_cap=8, response="min_eig_xla",
+        )
+        rng = np.random.default_rng(0)
+        img0 = jnp.asarray(rng.random((H, W)).astype(np.float32) * 100)
+        table = FeatureTable(
+            xy=jnp.asarray(rng.uniform(10, 50, (N, 2)).astype(np.float32)),
+            valid=jnp.ones((N,), bool),
+            landmark=jnp.full((N,), -1, jnp.int32),
+            score=jnp.ones((N,), jnp.float32),
+        )
+        st = fused.init_state(
+            pyr=tuple(build_pyramid(img0, cfg.lk_levels)),
+            table=table, map_state=MapState.empty(M), cfg=cfg,
+        )
+        batched = multi_seq.batch_states([st] * B)
+        step = multi_seq.make_batched_chunk_step(m, cfg)
+        imgs = jnp.asarray((rng.random((B, C, H, W)) * 100).astype(np.uint8))
+        keys = jnp.asarray(
+            np.stack([np.asarray(jax.random.split(jax.random.PRNGKey(b), C)) for b in range(B)])
+        )
+        K = jnp.asarray(
+            np.array([[0.6 * W, 0, W / 2], [0, 0.6 * W, H / 2], [0, 0, 1]], np.float32)
+        )
+        hlo = step.lower(
+            batched, imgs, jnp.ones((B, C), jnp.float32), keys, K
+        ).compile().as_text()
+        coll = re.compile(
+            r"=\s*\(?[^=]*?\)?\s*(all-reduce|all-gather|reduce-scatter|"
+            r"collective-permute|all-to-all)(-start)?\("
+        )
+        offenders = [ln for ln in hlo.splitlines() if coll.search(ln)]
+        assert not offenders, f"dp step should be collective-free:\n" + "\n".join(offenders[:5])
+
 
 class TestGlobalRefine:
     @staticmethod
