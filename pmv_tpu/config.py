@@ -87,6 +87,9 @@ class VOConfig:
     ransac_pnp_thresh: float = 3.0  # PnP reprojection threshold, px. The
     # reference uses 8 px (OpenCVEPnPSolver.cpp:36); 3 px roughly halves the
     # trajectory drift in our sweeps — set 8 for strict parity
+    ba_obs_gate_px: float = 0.0    # drop BA observations whose initial
+    # reprojection residual exceeds this (px); 0 = off (reference parity).
+    # Recommended ~4 px on scenes with moving objects/occlusions
     ba_window_obs: int = 4096      # max observations per BA window
     chunk_frames: int = 8          # frames per device dispatch (lax.scan chunk)
     checkpoint_path: str = ""      # fused-state snapshot file ("" = off).

@@ -53,6 +53,7 @@ class StepConfig(NamedTuple):
     essential_solver: str = "five_point"  # five_point | eight_point
     bundle_size: int = 5
     ba_iters: int = 5
+    ba_obs_gate_px: float = 0.0  # initial-residual observation gate (px)
     ba_cadence: int = 0  # frames between BA calls; 0 = reference cadence
     # (bundle_size//3*2, OdometryPipeline.cpp:407)
     traj_cap: int = 1024  # device trajectory capacity (frames)
@@ -332,7 +333,9 @@ def ba_step(state: StepState, K: jax.Array, cfg: StepConfig) -> StepState:
         pose_free=pose_free,
         K=K,
     )
-    tr_out, lm_local_out, _ = schur_lm.ba_solve(prob, iters=cfg.ba_iters)
+    tr_out, lm_local_out, _ = schur_lm.ba_solve(
+        prob, iters=cfg.ba_iters, obs_gate_px=cfg.ba_obs_gate_px
+    )
     R_new, t_new = geo.ba_params_to_pose(tr_out)
     # Scatter optimized landmarks back to the global map (pad-row trick for
     # the fill slots).

@@ -366,7 +366,9 @@ class OdometryPipeline:
             pose_free=pose_free,
             K=self.K,
         )
-        tr_out, lm_out, stats = ba_solve(prob, iters=cfg.max_iterations)
+        tr_out, lm_out, stats = ba_solve(
+            prob, iters=cfg.max_iterations, obs_gate_px=cfg.ba_obs_gate_px
+        )
         self._log(
             f"BA window [{frame_ids[0]},{frame_ids[-1]}]: cost "
             f"{float(stats['cost0']):.1f} -> {float(stats['cost']):.1f}"
@@ -447,6 +449,7 @@ class OdometryPipeline:
             bundle_size=max(cfg.bundle_size, 1),
             ba_iters=cfg.max_iterations,
             ba_cadence=cfg.ba_cadence,
+            ba_obs_gate_px=cfg.ba_obs_gate_px,
             traj_cap=max(2048, cfg.frames + 2),
         )
         start = self.init_offset + 1

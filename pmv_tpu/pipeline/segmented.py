@@ -88,6 +88,7 @@ class SegmentedPipeline(OdometryPipeline):
             essential_solver=cfg.essential_solver,
             bundle_size=max(cfg.bundle_size, 1),
             ba_iters=cfg.max_iterations,
+            ba_obs_gate_px=cfg.ba_obs_gate_px,
             traj_cap=max(2048, L + 2),
         )
 
