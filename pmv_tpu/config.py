@@ -97,6 +97,9 @@ class VOConfig:
     # checkpoint the device-resident StepState for mid-sequence resume
     checkpoint_every: int = 0      # frames between snapshots (0 = off)
     resume: int = 0                # 1 = resume run() from checkpoint_path
+    lk_impl: str = "tap"           # LK tracker backend: tap (XLA tap-matrix
+    # matmuls) | pallas (fused VPU kernel, pmv_tpu.frontend.pallas_lk) |
+    # auto (pallas on TPU, tap elsewhere)
     extractor: str = "good"        # good | shi_tomasi | fast
     essential_solver: str = "five_point"  # five_point (Nister, ref default) | eight_point
     matcher: str = "lk"            # lk | knn

@@ -1,0 +1,287 @@
+"""Pallas TPU kernel for pyramidal Lucas-Kanade (the per-chip hot loop).
+
+TPU-native replacement for the tap-matrix XLA tracker in
+``pmv_tpu.frontend.lucas_kanade`` (itself a rewrite of the reference's
+``cv::calcOpticalFlowPyrLK`` call, OpenCVLucasKanadeFM.cpp:15). The XLA
+path formulates subpixel sampling as per-feature (win, Rg) tap matmuls;
+those matrices are ~23x55 against a 128x128 systolic array, so the MXU
+runs at ~3% utilization and the tracker costs ~10 ms/frame on chip.
+
+This kernel reformulates the whole level as VPU work in a feature-lanes
+layout:
+
+- blocks are stored ``(Rg, Rg, N)`` — N features across the 128-lane axis
+  (512 features = exactly 4 lane groups, zero padding waste; the XLA
+  layout pads Rg=55 lanes to 128);
+- each feature's subpixel window shares ONE fractional offset, so a
+  bilinear sample is a dense two-tap blend followed by a per-feature
+  integer shift. The blend is one elementwise pass; the shift is a masked
+  sum over the K = Rg - w possible static offsets — pure lane-parallel
+  VPU select/FMA with no gathers and no matmuls;
+- the template statistics and the full LK iteration loop run inside one
+  kernel invocation with the search region VMEM-resident, so iterations
+  cost zero HBM traffic.
+
+On non-TPU backends the kernel runs in interpreter mode, which keeps the
+code path testable on the CPU mesh (tests/test_pallas_lk.py asserts
+equivalence with the XLA tracker).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pmv_tpu.frontend import lucas_kanade as lk
+
+NB = 128  # features per grid program (one lane group)
+
+
+def _masked_window(region, lr, lc, w: int):
+    """Bilinear (w, w, NB) windows from a (Rg, Rg, NB) region at per-lane
+    float offsets lr, lc (each (1, 1, NB), pre-clipped to [0, Rg-w-1]).
+
+    Separable two-tap blend + masked static-shift selection. The row
+    selection slices dim0 (free on TPU); the column selection slices the
+    sublane dim (cheap register rotations).
+    """
+    Rg = region.shape[0]
+    K = Rg - w  # possible integer offsets: floor(lr) in [0, Rg-w-1]
+
+    i0 = jnp.floor(lr)
+    fr = lr - i0
+    # rows: blend the two vertical taps once, densely
+    B = (1.0 - fr) * region[:-1] + fr * region[1:]  # (Rg-1, Rg, NB)
+    rows = jnp.zeros((w,) + region.shape[1:], region.dtype)
+    for k in range(K):
+        rows = rows + jnp.where(i0 == k, B[k : k + w], 0.0)
+
+    j0 = jnp.floor(lc)
+    fc = lc - j0
+    C = (1.0 - fc) * rows[:, :-1] + fc * rows[:, 1:]  # (w, Rg-1, NB)
+    out = jnp.zeros((w, w, region.shape[2]), region.dtype)
+    for k in range(K):
+        out = out + jnp.where(j0 == k, C[:, k : k + w], 0.0)
+    return out
+
+
+def _make_level_kernel(Rg: int, win: int, iters: int):
+    """Kernel for one pyramid level over NB features.
+
+    Inputs: blk (Rg, Rg, NB) template region; region (Rg, Rg, NB) search
+    region; scal (8, NB) rows [traw_r, traw_c, g_r, g_c, reg_r0, reg_c0]
+    (template offsets, guess in padded-image coords, region origins).
+    Output: (8, NB) rows [g_r', g_c', min_eig].
+
+    The guess is carried in global padded coordinates and localized as
+    ``(g - half) - reg0`` each iteration — the exact float association of
+    lucas_kanade._iterate, keeping the two backends bit-identical where
+    the underlying ops are (CPU interpreter vs XLA CPU).
+    """
+    half = (win - 1) / 2.0
+    t_lim = Rg - (win + 2) - 1e-5
+    i_lim = Rg - win - 1.000001
+
+    def kernel(blk_ref, region_ref, scal_ref, out_ref):
+        blk = blk_ref[:]
+        region = region_ref[:]
+        nb = blk.shape[2]
+
+        def v(i):  # (1, 1, NB) per-lane scalar row
+            return scal_ref[i : i + 1, :].reshape(1, 1, nb)
+
+        # --- template: fractional (win+2, win+2) window + stats
+        # (mirrors lucas_kanade._template_stats) ---
+        F = _masked_window(
+            blk,
+            jnp.clip(v(0), 0.0, t_lim),
+            jnp.clip(v(1), 0.0, t_lim),
+            win + 2,
+        )
+        T = F[1:-1, 1:-1]
+        Ix = (F[1:-1, 2:] - F[1:-1, :-2]) * 0.5
+        Iy = (F[2:, 1:-1] - F[:-2, 1:-1]) * 0.5
+        Gxx = jnp.sum(Ix * Ix, axis=(0, 1), keepdims=True)
+        Gxy = jnp.sum(Ix * Iy, axis=(0, 1), keepdims=True)
+        Gyy = jnp.sum(Iy * Iy, axis=(0, 1), keepdims=True)
+        det = Gxx * Gyy - Gxy * Gxy
+        mean = (Gxx + Gyy) * 0.5
+        rad = jnp.sqrt(jnp.maximum(((Gxx - Gyy) * 0.5) ** 2 + Gxy * Gxy, 0.0))
+        min_eig = (mean - rad) / (win * win)
+        inv_det = jnp.where(det > 1e-6, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+
+        # --- LK iterations on the VMEM-resident search region
+        # (mirrors lucas_kanade._iterate, same float association) ---
+        reg_r0 = v(4)
+        reg_c0 = v(5)
+
+        def body(_, g):
+            g_r, g_c = g
+            I = _masked_window(
+                region,
+                jnp.clip(g_r - half - reg_r0, 0.0, i_lim),
+                jnp.clip(g_c - half - reg_c0, 0.0, i_lim),
+                win,
+            )
+            r = T - I
+            bx = jnp.sum(r * Ix, axis=(0, 1), keepdims=True)
+            by = jnp.sum(r * Iy, axis=(0, 1), keepdims=True)
+            du = (Gyy * bx - Gxy * by) * inv_det
+            dv = (Gxx * by - Gxy * bx) * inv_det
+            return (g_r + dv, g_c + du)
+
+        g_r, g_c = lax.fori_loop(0, iters, body, (v(2), v(3)))
+
+        # Mosaic has no in-kernel scatter: assemble the output by
+        # concatenation instead of .at[].set.
+        out_ref[:] = jnp.concatenate(
+            [
+                g_r.reshape(1, nb),
+                g_c.reshape(1, nb),
+                min_eig.reshape(1, nb),
+                jnp.zeros((5, nb), blk.dtype),
+            ],
+            axis=0,
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("win", "iters", "interpret"))
+def _level_call(blk_t, region_t, scal, win: int, iters: int, interpret: bool):
+    Rg, _, N = blk_t.shape
+    grid = N // NB
+    kernel = _make_level_kernel(Rg, win, iters)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((Rg, Rg, NB), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rg, Rg, NB), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, N), blk_t.dtype),
+        interpret=interpret,
+    )(blk_t, region_t, scal)
+
+
+def _auto_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pad_n(x, N_pad):
+    n = x.shape[-1]
+    if n == N_pad:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, N_pad - n)]
+    return jnp.pad(x, pad)
+
+
+def _track_level_cached(
+    blk_t, blk_r0, blk_c0, next_img, pts_level, guess, win, iters, search, interpret
+):
+    """Pallas counterpart of lucas_kanade._track_level_cached: same
+    contract, blocks in (Rg, Rg, N) feature-lanes layout."""
+    PAD = lk._pad_for(win, search)
+    Rg = lk.region_size(win, search)
+    next_img = jnp.pad(next_img, PAD, mode="edge")
+    half = (win - 1) / 2.0
+
+    lim = Rg - (win + 2) - 1e-5
+    raw_r = pts_level[:, 1] + PAD - half - 1.0 - blk_r0
+    raw_c = pts_level[:, 0] + PAD - half - 1.0 - blk_c0
+    ok = (raw_r > -0.75) & (raw_r < lim + 0.75) & (raw_c > -0.75) & (raw_c < lim + 0.75)
+
+    # search region in the next image: XLA block gather, then one transpose
+    # into the feature-lanes layout the kernel (and the next frame) use
+    region, reg_r0, reg_c0 = lk._capture_region(next_img, guess + PAD, win, search)
+    region_t = jnp.transpose(region, (1, 2, 0))
+
+    N = pts_level.shape[0]
+    N_pad = -(-N // NB) * NB
+    gp = guess + PAD
+    scal = jnp.zeros((8, N_pad), jnp.float32)
+    scal = scal.at[0, :N].set(raw_r)
+    scal = scal.at[1, :N].set(raw_c)
+    scal = scal.at[2, :N].set(gp[:, 1])
+    scal = scal.at[3, :N].set(gp[:, 0])
+    scal = scal.at[4, :N].set(reg_r0.astype(jnp.float32))
+    scal = scal.at[5, :N].set(reg_c0.astype(jnp.float32))
+
+    out = _level_call(
+        _pad_n(blk_t, N_pad), _pad_n(region_t, N_pad), scal, win, iters, interpret
+    )
+    g = jnp.stack([out[1, :N], out[0, :N]], axis=-1) - PAD
+    return g, out[2, :N], ok, (region_t, reg_r0, reg_c0)
+
+
+@functools.partial(jax.jit, static_argnames=("win", "search"))
+def capture_blocks(pyr: tuple, pts, win: int = 32, search: int | None = None):
+    """Like lucas_kanade.capture_blocks, but blocks come back in the
+    (Rg, Rg, N) feature-lanes layout this module's tracker consumes."""
+    search = lk._resolve_search(win, search)
+    PAD = lk._pad_for(win, search)
+    out = []
+    for lvl, img in enumerate(pyr):
+        s = 2.0 ** lvl
+        img_p = jnp.pad(img, PAD, mode="edge")
+        region, r0, c0 = lk._capture_region(img_p, pts / s + PAD, win, search)
+        out.append((jnp.transpose(region, (1, 2, 0)), r0, c0))
+    return tuple(out)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("win", "iters", "search", "interpret")
+)
+def track_cached(
+    blocks: tuple,
+    next_pyr,
+    pts,
+    valid,
+    win: int = 32,
+    iters: int = 10,
+    min_eig_threshold: float = 1e-4,
+    search: int | None = None,
+    interpret: bool | None = None,
+):
+    """Drop-in for lucas_kanade.track_cached with (Rg, Rg, N) blocks.
+
+    Returns (new_pts, status, new_blocks) with identical semantics; the
+    per-level work runs as one Pallas kernel per level.
+    """
+    if interpret is None:
+        interpret = _auto_interpret()
+    levels = len(next_pyr)
+    H, W = next_pyr[0].shape
+    search = lk._resolve_search(win, search)
+    scale_top = 2.0 ** (levels - 1)
+    guess = pts / scale_top
+    min_eig0 = jnp.zeros(pts.shape[0], pts.dtype)
+    ok_all = jnp.ones(pts.shape[0], bool)
+    new_blocks = []
+    for lvl in range(levels - 1, -1, -1):
+        s = 2.0 ** lvl
+        blk_t, br0, bc0 = blocks[lvl]
+        guess, min_eig0, ok, captured = _track_level_cached(
+            blk_t, br0, bc0, next_pyr[lvl], pts / s, guess, win, iters,
+            search, interpret,
+        )
+        ok_all = ok_all & ok
+        new_blocks.append(captured)
+        if lvl > 0:
+            guess = guess * 2.0
+    new_pts = guess
+    inside = (
+        (new_pts[:, 0] >= 0)
+        & (new_pts[:, 0] <= W - 1)
+        & (new_pts[:, 1] >= 0)
+        & (new_pts[:, 1] <= H - 1)
+    )
+    status = valid & inside & ok_all & (min_eig0 > min_eig_threshold)
+    return new_pts, status, tuple(new_blocks[::-1])

@@ -57,6 +57,7 @@ class StepConfig(NamedTuple):
     ba_cadence: int = 0  # frames between BA calls; 0 = reference cadence
     # (bundle_size//3*2, OdometryPipeline.cpp:407)
     traj_cap: int = 1024  # device trajectory capacity (frames)
+    lk_impl: str = "tap"  # LK tracker backend: tap | pallas | auto
 
 
 class StepState(NamedTuple):
@@ -96,7 +97,7 @@ def init_state(
     N = table.capacity
     eye = jnp.eye(3, dtype=jnp.float32)
     T = cfg.traj_cap
-    from pmv_tpu.frontend import lucas_kanade as lk
+    lk = steps.lk_module(cfg.lk_impl)
 
     blocks = lk.capture_blocks(
         tuple(pyr), table.xy, win=cfg.lk_window,
@@ -141,6 +142,7 @@ def frame_step(
     tracked_table, new_blocks = steps.track_step_cached(
         state.blocks, list(next_pyr), state.table,
         win=cfg.lk_window, iters=cfg.lk_iters, search=cfg.lk_search,
+        impl=cfg.lk_impl,
     )
     tracked = tracked_table.num_valid()
 
@@ -154,7 +156,7 @@ def frame_step(
         )
         # Reseeded slots moved: the cached blocks no longer cover them, so
         # recapture around the updated table (only on reseed frames).
-        from pmv_tpu.frontend import lucas_kanade as lk
+        lk = steps.lk_module(cfg.lk_impl)
 
         blocks2 = lk.capture_blocks(
             next_pyr, tbl2.xy, win=cfg.lk_window,

@@ -441,6 +441,7 @@ class OdometryPipeline:
             e_thresh=cfg.ransac_e_thresh,
             pnp_hypos=cfg.ransac_pnp_hypos,
             pnp_thresh=cfg.ransac_pnp_thresh,
+            lk_impl=cfg.lk_impl,
         )
         # traj_cap is STATIC in the compiled programs: keep it fixed (not a
         # function of cfg.frames) so warmup/short runs share the cache with

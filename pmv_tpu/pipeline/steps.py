@@ -27,6 +27,21 @@ import numpy as _np
 FLIP = _np.diag(_np.array([1.0, 1.0, -1.0], _np.float32))
 
 
+def lk_module(impl: str):
+    """Resolve an LK tracker implementation name to its module.
+
+    ``tap``: XLA tap-matrix tracker (lucas_kanade). ``pallas``: fused VPU
+    kernel (pallas_lk). ``auto``: pallas on TPU backends, tap elsewhere.
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "tap"
+    if impl == "pallas":
+        from pmv_tpu.frontend import pallas_lk
+
+        return pallas_lk
+    return lk
+
+
 @functools.partial(jax.jit, static_argnames=("win", "iters", "search"))
 def track_step(
     prev_pyr: list[jax.Array],
@@ -55,7 +70,7 @@ def track_step(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("win", "iters", "search"))
+@functools.partial(jax.jit, static_argnames=("win", "iters", "search", "impl"))
 def track_step_cached(
     blocks: tuple,
     next_pyr: list[jax.Array],
@@ -63,11 +78,18 @@ def track_step_cached(
     win: int = 32,
     iters: int = 10,
     search: int = 0,
+    impl: str = "tap",
 ) -> tuple[FeatureTable, tuple]:
     """:func:`track_step` with the per-level templates sampled from the
     previous frame's cached region blocks (half the block gathers). Returns
-    (table, new_blocks) — thread ``new_blocks`` into the next call."""
-    new_xy, status, new_blocks = lk.track_cached(
+    (table, new_blocks) — thread ``new_blocks`` into the next call.
+
+    ``impl`` selects the tracker backend: ``tap`` (XLA tap-matrix matmuls)
+    or ``pallas`` (fused VPU kernel, pmv_tpu.frontend.pallas_lk) — the two
+    use different block layouts, so ``blocks`` must come from the matching
+    module's capture_blocks."""
+    mod = lk_module(impl)
+    new_xy, status, new_blocks = mod.track_cached(
         blocks, next_pyr, prev_table.xy, prev_table.valid, win=win, iters=iters,
         search=search if search > 0 else None,
     )
