@@ -76,7 +76,7 @@ def make_pipeline(paths: dict, frames: int):
 
     overrides = json.loads(os.environ.get("BENCH_OVERRIDES", "{}"))
     segments = int(os.environ.get("BENCH_SEGMENTS", "1"))
-    cfg = VOConfig(
+    base = dict(
         image_dir=paths["image_dir"],
         camera_calibration=paths["camera_calibration"],
         poses=paths["poses"],
@@ -91,8 +91,9 @@ def make_pipeline(paths: dict, frames: int):
         map_capacity=8192,
         verbose=0,
         seed=0,
-        **overrides,
     )
+    base.update(overrides)  # overrides win, including base keys like seed
+    cfg = VOConfig(**base)
     if segments > 1:
         from pmv_tpu.pipeline.segmented import SegmentedPipeline
 

@@ -173,8 +173,23 @@ def schur_solve(U, V, Wc, b_pose, b_lm, has_obs, pose_free, lam, *, psum_axis=No
     if psum_axis is not None:
         U = jax.lax.psum(U, psum_axis)
         b_pose = jax.lax.psum(b_pose, psum_axis)
-    U_d = U + lam * (U * eyeP) + 1e-9 * eyeP
-    V_d = V + lam * (V * eyeL) + 1e-9 * eyeL
+    # f32 gauge hygiene: the window often has NO pinned pose (reference
+    # semantics, CeresBundleAdjustment.cpp:22-24 skips only global frame 0),
+    # so the normal equations carry a 7-DOF null space. Ceres survives it in
+    # double precision; in f32 the gradient's numerical null-space component
+    # (~1e-7 relative) divided by a near-zero damped eigenvalue produces
+    # meter-scale gauge jumps. A scale-aware absolute Tikhonov term caps the
+    # null-direction step at ~noise/mu while staying ~1e-6 relative to the
+    # data directions (diag(U) sets the problem's scale).
+    # (muV is per-landmark-block so the landmark-sharded and single-device
+    # paths compute identical damping regardless of shard boundaries.)
+    muP = 1e-6 * jnp.mean(jnp.abs(jnp.diagonal(U, axis1=-2, axis2=-1))) + 1e-9
+    muV = (
+        1e-6 * jnp.mean(jnp.abs(jnp.diagonal(V, axis1=-2, axis2=-1)), axis=-1)
+        + 1e-9
+    )[:, None, None]
+    U_d = U + lam * (U * eyeP) + muP * eyeP
+    V_d = V + lam * (V * eyeL) + muV * eyeL
 
     V_inv = _inv3x3(V_d)  # (L, 3, 3)
     Y = jnp.einsum("lpij,ljk->lpik", Wc, V_inv, precision=_PREC)  # (L, P, 6, 3)
@@ -245,7 +260,9 @@ def ba_solve(
         accept = cost_try < cost
         tr = jnp.where(accept, tr_try, tr)
         lm = jnp.where(accept, lm_try, lm)
-        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-9), jnp.minimum(lam * 4.0, 1e6))
+        # lam floor 1e-6, not 1e-9: in f32 a near-zero lam lets the Schur
+        # solve amplify rounding noise along weakly-observed directions.
+        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-6), jnp.minimum(lam * 4.0, 1e6))
         cost = jnp.where(accept, cost_try, cost)
         return (tr, lm, lam, cost), cost
 

@@ -85,11 +85,14 @@ class TestStressScenario:
         # bounded, not divergent (measured ~10 m; divergent runs reach 90+).
         assert ate < 20.0, ate
 
-    def test_obs_gate_contains_ba_divergence(self, tmp_path):
-        """Seed 13 is the measured worst case: moving-occluder landmarks
-        drag the un-gated window BA to ATE ~94 m; the initial-residual
-        observation gate contains it (~14 m). Guards the ba_obs_gate_px
-        mechanism end-to-end."""
+    def test_ba_divergence_contained(self, tmp_path):
+        """Seed 13 was the measured worst case: moving-occluder landmarks
+        dragged the un-gated window BA to ATE ~94 m. Two independent
+        defenses now hold it: the f32 LM gauge hygiene in schur_solve
+        (scale-aware Tikhonov + lam floor) contains the un-gated run to
+        ~8 m by itself, and the initial-residual observation gate
+        (ba_obs_gate_px) stays bounded on top of it. Both must remain far
+        from the divergent regime."""
         paths = make_stress_seq(tmp_path, seed=13)
         ungated = OdometryPipeline(stress_cfg(paths, seed=13))
         ungated.run_modular()
@@ -99,8 +102,8 @@ class TestStressScenario:
         gated.run_modular()
         ate_gated = ate_of(gated)
 
+        assert ate_ungated < 25.0, ate_ungated
         assert ate_gated < 25.0, ate_gated
-        assert ate_gated < ate_ungated / 3, (ate_gated, ate_ungated)
 
 
 class TestObsGateUnit:
