@@ -97,9 +97,16 @@ class VOConfig:
     # checkpoint the device-resident StepState for mid-sequence resume
     checkpoint_every: int = 0      # frames between snapshots (0 = off)
     resume: int = 0                # 1 = resume run() from checkpoint_path
-    lk_impl: str = "tap"           # LK tracker backend: tap (XLA tap-matrix
-    # matmuls) | pallas (fused VPU kernel, pmv_tpu.frontend.pallas_lk) |
-    # auto (pallas on TPU, tap elsewhere)
+    reseed_tol: int = 300          # reseed when tracked features fall below
+    # this (0 = tracked_features_tol, the reference's coupled threshold,
+    # OdometryPipeline.cpp:342 — set 0 for strict parity). The tuned default
+    # 300 keeps the pool dense and the essential/PnP geometry
+    # well-conditioned without changing the PnP-vs-triangulation branch
+    # point: on the 600-frame bench it removed every seed-dependent heading
+    # divergence (ATE 280-540 m -> 9-15 m; PERFORMANCE.md round 2)
+    lk_impl: str = "auto"          # LK tracker backend: tap (XLA tap-matrix
+    # matmuls) | pallas (fused VPU kernel, pmv_tpu.frontend.pallas_lk,
+    # 1.63x the tap path on chip) | auto (pallas on TPU, tap elsewhere)
     extractor: str = "good"        # good | shi_tomasi | fast
     essential_solver: str = "five_point"  # five_point (Nister, ref default) | eight_point
     matcher: str = "lk"            # lk | knn

@@ -45,6 +45,10 @@ class StepConfig(NamedTuple):
     quality: float = 0.01
     min_distance: int = 5
     tracked_tol: int = 150
+    reseed_tol: int = 0  # reseed when tracked < this; 0 = tracked_tol
+    # (the reference couples reseed and the PnP/tri branch at
+    # tracked_features_tol, OdometryPipeline.cpp:342/:383; decoupling lets
+    # production keep the feature pool dense without changing the branch)
     e_hypos: int = 256
     e_thresh: float = 1.0
     pnp_hypos: int = 128
@@ -164,8 +168,9 @@ def frame_step(
         )
         return tbl2, blocks2
 
+    reseed_tol = cfg.reseed_tol if cfg.reseed_tol > 0 else cfg.tracked_tol
     next_table, new_blocks = lax.cond(
-        tracked < cfg.tracked_tol, do_reseed, lambda op: op,
+        tracked < reseed_tol, do_reseed, lambda op: op,
         (tracked_table, new_blocks),
     )
 

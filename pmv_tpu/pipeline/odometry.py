@@ -176,7 +176,7 @@ class OdometryPipeline:
             self._log(
                 f"{self._watch.tock():.6g} seconds for feature matching in frame #{k}"
             )
-        if tracked < cfg.tracked_features_tol:
+        if tracked < (cfg.reseed_tol if cfg.reseed_tol > 0 else cfg.tracked_features_tol):
             n_tiles = self._n_tiles(img.shape)
             n_per_tile = max(1, math.ceil(cfg.min_tracked_features / n_tiles))
             if cfg.verbose:
@@ -442,6 +442,7 @@ class OdometryPipeline:
             pnp_hypos=cfg.ransac_pnp_hypos,
             pnp_thresh=cfg.ransac_pnp_thresh,
             lk_impl=cfg.lk_impl,
+            reseed_tol=cfg.reseed_tol,
         )
         # traj_cap is STATIC in the compiled programs: keep it fixed (not a
         # function of cfg.frames) so warmup/short runs share the cache with
