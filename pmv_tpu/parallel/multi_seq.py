@@ -3,15 +3,18 @@
 The reference is inherently single-sequence, single-process. For production
 throughput (BASELINE.json configs: "frames/s scaling sweep"), independent
 sequences — or independent chunks of one long sequence — are tracked
-simultaneously: the fused per-frame step is vmapped over a batch dimension
-and the batch is sharded over the mesh's ``dp`` axis, so each chip runs the
+simultaneously, sharded over the mesh's ``dp`` axis so each chip runs the
 full VO step for its own sequences with zero cross-chip communication.
 
-Note: under vmap, ``lax.cond`` branches become ``select`` (both branches
-execute), and the Pallas corner kernel is replaced by the XLA response
-(``response="min_eig_xla"``); per-sequence cost is therefore the steady-state
-PnP cost plus the bootstrap cost. This is the throughput-optimal regime when
-the batch is large.
+Within a chip the local batch is processed with ``lax.map`` (a scan), NOT
+``vmap``: under vmap every ``lax.cond`` lowers to ``select`` so every frame
+pays the five-point bootstrap + PnP + BA + reseed simultaneously — measured
+28.7 aggregate fps at B=1 on a v5e chip versus 95 fps for the sequential
+path, and FLAT in B (the chip is already saturated; PERFORMANCE.md round 2).
+``lax.map`` keeps real per-sequence XLA conditionals, so a chip time-
+multiplexes its local sequences at full sequential throughput and the
+multi-chip scaling story is per-chip-sequential x dp, still collective-free
+(tests/test_parallel_flow.py::test_dp_step_has_no_collectives).
 """
 
 from __future__ import annotations
@@ -44,10 +47,11 @@ def make_batched_chunk_step(mesh: Mesh | None, cfg: fused.StepConfig):
     if cfg.response == "min_eig":
         cfg = cfg._replace(response="min_eig_xla")
 
-    def one(state, imgs, gts, keys, K):
-        return fused.chunk_step(state, imgs, gts, keys, K, cfg)
-
-    batched = jax.vmap(one, in_axes=(0, 0, 0, 0, None))
+    def batched(state, imgs, gts, keys, K):
+        return jax.lax.map(
+            lambda args: fused.chunk_step(*args, K, cfg),
+            (state, imgs, gts, keys),
+        )
     if mesh is None:
         return jax.jit(batched)
     from jax import shard_map

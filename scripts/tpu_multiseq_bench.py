@@ -55,7 +55,7 @@ def build_states_and_frames(B: int):
         lk_levels=4, lk_window=21, lk_iters=10, tile_h=255, tile_w=255,
         n_per_tile=40, tracked_tol=150, e_hypos=256, pnp_hypos=128,
         pnp_thresh=3.0, bundle_size=5, ba_iters=5, traj_cap=64,
-        response="min_eig_xla",
+        response="min_eig", lk_impl="auto", reseed_tol=300,
     )
     K = jnp.asarray(synthetic.KITTI_K.astype(np.float32))
     states, img_all = [], []
