@@ -101,6 +101,15 @@ def make_pipeline(paths: dict, frames: int):
     return OdometryPipeline(cfg)
 
 
+def _decoder_name() -> str:
+    try:
+        from pmv_tpu.io import native
+
+        return "native_cpp" if native.available() else "python"
+    except Exception:
+        return "python"
+
+
 def main() -> None:
     paths = build_dataset()
 
@@ -155,6 +164,11 @@ def main() -> None:
                     "ba_iters_per_sec": round(ba_iters_per_sec, 1),
                     "device": str(jax.devices()[0]),
                     "frame_shape": list(SHAPE),
+                    # Which PNG decoder fed the run (the upload-bound analysis
+                    # in PERFORMANCE.md depends on it): the native C++ decoder
+                    # when native/libframe_loader.so is built, else the
+                    # pure-Python codec.
+                    "png_decoder": _decoder_name(),
                 },
             }
         )

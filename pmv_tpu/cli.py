@@ -49,10 +49,20 @@ def main(argv: list[str] | None = None) -> int:
         print("\n".join(f"{k} = {v}" for k, v in paths.items()))
         return 0
 
-    if args.platform:
-        import jax
+    import os
 
+    import jax
+
+    if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # Persistent compile cache: fresh remote compiles cost minutes on the
+    # tunneled chip; every entry point (bench.py, scripts/) sets this and the
+    # CLI must too or each `vo run` pays the full compile bill again.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("PMV_JAX_CACHE", "/tmp/pmv_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from pmv_tpu.config import OdometryPipelineException
     from pmv_tpu.pipeline.odometry import OdometryPipeline

@@ -92,6 +92,12 @@ class VOConfig:
     # Recommended ~4 px on scenes with moving objects/occlusions
     ba_window_obs: int = 4096      # max observations per BA window
     chunk_frames: int = 8          # frames per device dispatch (lax.scan chunk)
+    traj_cap: int = 2048           # device trajectory-history capacity. A TRUE
+    # constant across runs: it is a static shape of every compiled program, so
+    # warmup/short runs share the compile cache with full runs only while it
+    # stays fixed. Runs with frames + 2 > traj_cap fail loudly at startup
+    # (fresh remote compiles cost minutes in this environment); raise it
+    # explicitly for longer sequences
     checkpoint_path: str = ""      # fused-state snapshot file ("" = off).
     # The reference persists nothing (SURVEY.md section 5); production runs
     # checkpoint the device-resident StepState for mid-sequence resume

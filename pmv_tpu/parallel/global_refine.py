@@ -12,8 +12,10 @@ into a scalable offline refinement.
 
 Landmarks are intentionally duplicated per window (each window refines its
 own copy); the stitched output is the pose trajectory, which is what the
-error metrics consume. Requires per-frame feature tables
-(run with ``chunk_frames=1`` or ``run_modular()``).
+error metrics consume. Per-frame feature tables come from any run mode: the
+fused production loop persists them on device (StepState.tbl_*_hist) and
+materializes them post-run, so a chunked run composes directly with this
+layer.
 """
 
 from __future__ import annotations

@@ -88,6 +88,18 @@ class StepState(NamedTuple):
     win_xy: jax.Array  # (P, N, 2) BA window feature ring (slot = frame % P)
     win_valid: jax.Array  # (P, N)
     win_lm: jax.Array  # (P, N)
+    # Full per-frame observation history (feature tables for every processed
+    # frame, ~7 KB/frame in HBM). The reference annotates every frame during
+    # the run and draws the CURRENT frame's landmark associations in drawMap
+    # (OdometryPipeline.cpp:110-127); persisting the tables lets the fused
+    # production path feed the video annotator and the global-refinement
+    # layer (parallel/global_refine.py) without re-running in modular mode.
+    # Slot j holds frame j's FINAL table: the triangulation branch back-writes
+    # the source frame (OpenCVFivePointTri.cpp:51), so step j+1 re-writes
+    # slot j with the updated source table.
+    tbl_xy_hist: jax.Array  # (T, N, 2)
+    tbl_valid_hist: jax.Array  # (T, N)
+    tbl_lm_hist: jax.Array  # (T, N)
 
 
 def init_state(
@@ -122,6 +134,9 @@ def init_state(
         win_xy=jnp.zeros((P, N, 2), jnp.float32).at[0].set(table.xy),
         win_valid=jnp.zeros((P, N), jnp.bool_).at[0].set(table.valid),
         win_lm=jnp.full((P, N), -1, jnp.int32).at[0].set(table.landmark),
+        tbl_xy_hist=jnp.zeros((T, N, 2), jnp.float32).at[0].set(table.xy),
+        tbl_valid_hist=jnp.zeros((T, N), jnp.bool_).at[0].set(table.valid),
+        tbl_lm_hist=jnp.full((T, N), -1, jnp.int32).at[0].set(table.landmark),
     )
 
 
@@ -250,6 +265,9 @@ def frame_step(
         win_xy=win_xy,
         win_valid=win_valid,
         win_lm=win_lm,
+        tbl_xy_hist=state.tbl_xy_hist.at[state.k].set(src_table.xy).at[k_new].set(next_table.xy),
+        tbl_valid_hist=state.tbl_valid_hist.at[state.k].set(src_table.valid).at[k_new].set(next_table.valid),
+        tbl_lm_hist=state.tbl_lm_hist.at[state.k].set(src_table.landmark).at[k_new].set(next_table.landmark),
     )
     stats = {
         "tracked": tracked,

@@ -369,6 +369,17 @@ class OdometryPipeline:
         tr_out, lm_out, stats = ba_solve(
             prob, iters=cfg.max_iterations, obs_gate_px=cfg.ba_obs_gate_px
         )
+        if cfg.verbose:
+            # Ceres-style per-iteration solver progress (the reference streams
+            # Summary::FullReport under verbose, CeresBundleAdjustment.cpp:
+            # 56-57, :63-64); ba_solve returns the accepted-cost history.
+            hist = np.asarray(stats["history"], np.float64)
+            c_prev = float(stats["cost0"])
+            for it, c in enumerate(hist):
+                self._log(
+                    f"  BA iter {it}: cost {c:.6e} (change {c_prev - float(c):.3e})"
+                )
+                c_prev = float(c)
         self._log(
             f"BA window [{frame_ids[0]},{frame_ids[-1]}]: cost "
             f"{float(stats['cost0']):.1f} -> {float(stats['cost']):.1f}"
@@ -405,26 +416,29 @@ class OdometryPipeline:
             "ba_calls": self._ba_calls,
         }
 
-    def run(self) -> dict:
-        """Fused-step main loop: one XLA dispatch per frame (plus periodic
-        BA), with async host-side frame prefetch — the TPU-native analogue of
-        the reference's two-thread pipeline."""
+    def _step_config(self, img_shape) -> "fused.StepConfig":
+        """The fused loop's STATIC (compile-cache-keyed) configuration.
+
+        Every field must be independent of the run's frame count: jitted
+        programs are keyed on this config, and a fresh remote compile costs
+        minutes in this environment. In particular ``traj_cap`` is a true
+        constant (cfg.traj_cap, default 2048 — covers every KITTI sequence):
+        a run that would overflow the device trajectory history fails loudly
+        here instead of silently forking every compiled program.
+        """
         from pmv_tpu.pipeline import fused
 
         cfg = self.cfg
-        if cfg.matcher != "lk":
-            # Alternate matchers (kNN patch matching) run through the
-            # modular per-stage loop; the fused step is LK-only.
-            return self.run_modular()
-        init_paths = self.file_names[: cfg.init_frames]
-        init_imgs = [img for _, img in FramePrefetcher(init_paths)]
-        self.initialise(init_imgs)
-        self._seed_trajectory()
+        if cfg.frames + 2 > cfg.traj_cap:
+            from pmv_tpu.config import OdometryPipelineException
 
-        img0 = init_imgs[self.init_offset]
-        n_tiles = self._n_tiles(img0.shape)
+            raise OdometryPipelineException(
+                f"frames={cfg.frames} exceeds traj_cap={cfg.traj_cap} - 2; "
+                "raise traj_cap explicitly (costs a fresh compile)"
+            )
+        n_tiles = self._n_tiles(img_shape)
         preset = cfg.extractor_preset()
-        step_cfg = fused.StepConfig(
+        return fused.StepConfig(
             lk_levels=cfg.lk_levels,
             lk_window=cfg.lk_window,
             lk_iters=cfg.lk_iters,
@@ -443,17 +457,31 @@ class OdometryPipeline:
             pnp_thresh=cfg.ransac_pnp_thresh,
             lk_impl=cfg.lk_impl,
             reseed_tol=cfg.reseed_tol,
-        )
-        # traj_cap is STATIC in the compiled programs: keep it fixed (not a
-        # function of cfg.frames) so warmup/short runs share the cache with
-        # full runs. 2048 covers every KITTI sequence.
-        step_cfg = step_cfg._replace(
             bundle_size=max(cfg.bundle_size, 1),
             ba_iters=cfg.max_iterations,
             ba_cadence=cfg.ba_cadence,
             ba_obs_gate_px=cfg.ba_obs_gate_px,
-            traj_cap=max(2048, cfg.frames + 2),
+            traj_cap=cfg.traj_cap,
         )
+
+    def run(self) -> dict:
+        """Fused-step main loop: one XLA dispatch per frame (plus periodic
+        BA), with async host-side frame prefetch — the TPU-native analogue of
+        the reference's two-thread pipeline."""
+        from pmv_tpu.pipeline import fused
+
+        cfg = self.cfg
+        if cfg.matcher != "lk":
+            # Alternate matchers (kNN patch matching) run through the
+            # modular per-stage loop; the fused step is LK-only.
+            return self.run_modular()
+        init_paths = self.file_names[: cfg.init_frames]
+        init_imgs = [img for _, img in FramePrefetcher(init_paths)]
+        self.initialise(init_imgs)
+        self._seed_trajectory()
+
+        img0 = init_imgs[self.init_offset]
+        step_cfg = self._step_config(img0.shape)
         start = self.init_offset + 1
         stop = min(cfg.frames, len(self.file_names))
         resume = bool(cfg.resume) and cfg.checkpoint_path and Path(cfg.checkpoint_path).exists()
@@ -566,7 +594,6 @@ class OdometryPipeline:
         if pending is not None:
             state = dispatch(state, pending)
         maybe_checkpoint(state, force=bool(cfg.checkpoint_path))
-        self.tables.append(state.table)
         # Exact BA-call count of the fused loop: chunk_step fires BA after
         # frame k at j = k_new - 1, i.e. j ranges over [1, k_last).
         cadence = (
@@ -586,6 +613,23 @@ class OdometryPipeline:
         self.R_s = [np.asarray(Rs_f, np.float64)]
         self.t_s = [np.asarray(ts_f, np.float64)]
         self.scale = float(scale_f)
+        # Materialize the per-frame feature tables from the device history
+        # (post-run, outside the timed window — the analogue of the reference
+        # writing its video after the threads join, main.cpp:14-23). These
+        # feed the video annotator's per-frame crosses/landmark layers
+        # (viz/render.py) and global refinement (parallel/global_refine.py).
+        txy, tvalid, tlm = jax.device_get(
+            (state.tbl_xy_hist, state.tbl_valid_hist, state.tbl_lm_hist)
+        )
+        self.tables = [
+            FeatureTable(
+                xy=jnp.asarray(txy[i]),
+                valid=jnp.asarray(tvalid[i]),
+                landmark=jnp.asarray(tlm[i]),
+                score=jnp.zeros((txy.shape[1],), jnp.float32),
+            )
+            for i in range(k_last + 1)
+        ]
         return self._finish()
 
     def run_modular(self) -> dict:

@@ -65,6 +65,11 @@ class SegmentedPipeline(OdometryPipeline):
             L = max(1, n_trans // B)
         if L < 1:
             raise ValueError(f"too few frames ({n_trans}) for {B} segments")
+        if L + 2 > cfg.traj_cap:
+            raise ValueError(
+                f"segment length {L} exceeds traj_cap={cfg.traj_cap} - 2; "
+                "raise traj_cap explicitly (costs a fresh compile)"
+            )
         seg_starts = [first + b * L for b in range(B)]
 
         img0 = init_imgs[self.init_offset]
@@ -89,7 +94,7 @@ class SegmentedPipeline(OdometryPipeline):
             bundle_size=max(cfg.bundle_size, 1),
             ba_iters=cfg.max_iterations,
             ba_obs_gate_px=cfg.ba_obs_gate_px,
-            traj_cap=max(2048, L + 2),
+            traj_cap=cfg.traj_cap,
         )
 
         # Segment seed frames + feature tables (batched).

@@ -16,7 +16,7 @@ import numpy as np
 
 from pmv_tpu.core.state import FeatureTable, MapState
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: StepState gained the per-frame table history
 
 
 def save(pipe, path: str | Path) -> None:
@@ -62,6 +62,7 @@ def save_fused_state(state, path: str | Path, **meta) -> None:
     for name in (
         "R", "t", "R_s", "t_s", "scale", "k",
         "R_hist", "t_hist", "win_xy", "win_valid", "win_lm",
+        "tbl_xy_hist", "tbl_valid_hist", "tbl_lm_hist",
     ):
         data[name] = np.asarray(getattr(state, name))
     for key, val in meta.items():
@@ -110,6 +111,9 @@ def load_fused_state(path: str | Path):
         win_xy=jnp.asarray(z["win_xy"]),
         win_valid=jnp.asarray(z["win_valid"]),
         win_lm=jnp.asarray(z["win_lm"]),
+        tbl_xy_hist=jnp.asarray(z["tbl_xy_hist"]),
+        tbl_valid_hist=jnp.asarray(z["tbl_valid_hist"]),
+        tbl_lm_hist=jnp.asarray(z["tbl_lm_hist"]),
     )
     meta = {
         key[len("meta_"):]: z[key] for key in z.files if key.startswith("meta_")

@@ -264,23 +264,38 @@ def save_run_visuals(pipe, out_dir: str | Path | None = None) -> dict:
         start = pipe.init_offset
         stop = min(pipe.cfg.frames, len(pipe.file_names))
         live = LiveMapRenderer(pipe) if pipe.cfg.fancy_video else None
+        map_xyz = np.asarray(pipe.map.xyz)
+        map_alive = np.asarray(pipe.map.alive)
         for idx, img in FramePrefetcher(pipe.file_names[start:stop]):
             k = idx  # trajectory index
             if k >= len(pipe.t):
                 break
-            # Per-frame feature tables exist on the modular/chunk_frames=1
-            # paths; the fused path keeps only the first and last table —
-            # frames in between get the map overlay but no crosses.
+            # Reference drawMap iterates the CURRENT frame's feature->landmark
+            # associations (fr.map, OdometryPipeline.cpp:110-127): crosses on
+            # the frame and map dots only for features bound to a live
+            # landmark, colored by the feature's image side. The fused run
+            # persists every frame's table (StepState.tbl_*_hist), so the
+            # replay is per-frame live. (Deviation: dot positions use the
+            # final optimized landmark coordinates — the device map holds one
+            # evolving copy — while the SET of dots is frame k's own.)
+            lm_k = cols_k = None
             if k < len(pipe.tables):
                 tbl = pipe.tables[k]
-                frame = annotate_frame(img, np.asarray(tbl.xy), np.asarray(tbl.valid))
+                xy = np.asarray(tbl.xy)
+                lm = np.asarray(tbl.landmark)
+                bound = np.asarray(tbl.valid) & (lm >= 0)
+                bound[bound] &= map_alive[lm[bound]]
+                frame = annotate_frame(img, xy, bound)
+                lm_k = map_xyz[lm[bound]]
+                cols_k = xy[bound, 0]
             else:
                 frame = np.stack([np.clip(img, 0, 255).astype(np.uint8)] * 3, -1)
             if pipe.cfg.fancy_video:
                 # Reference fancy_video: alpha-blend the LIVE per-frame map
                 # into a square region of the frame
                 # (OdometryPipeline.cpp:413-422, alpha 0.75).
-                mk = live.render(k, landmarks=lms)
+                mk = live.render(k, landmarks=lm_k, landmark_cols=cols_k,
+                                 img_width=img.shape[1])
                 side = min(frame.shape[0], frame.shape[1])
                 # nearest-neighbor resize of the map to (side, side)
                 ys = (np.arange(side) * (mk.shape[0] / side)).astype(int)

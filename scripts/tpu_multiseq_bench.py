@@ -1,8 +1,9 @@
 """Aggregate multi-sequence throughput on the real TPU chip.
 
 The dp-per-chip story for BASELINE.md's >=10x target: one chip tracks B
-independent sequences simultaneously (vmapped fused step). Two numbers per
-batch size:
+independent sequences simultaneously (lax.map over the local batch inside
+the jitted chunk step — see pmv_tpu/parallel/multi_seq.py for why NOT
+vmap). Two numbers per batch size:
 
 - **compute fps** — frames pre-staged on device (one upload), chunk_step
   loop timed alone. This is the chip's actual VO capacity; multiply by
