@@ -60,6 +60,11 @@ class StepConfig(NamedTuple):
     ba_obs_gate_px: float = 0.0  # initial-residual observation gate (px)
     ba_cadence: int = 0  # frames between BA calls; 0 = reference cadence
     # (bundle_size//3*2, OdometryPipeline.cpp:407)
+    ba_lm_cap: int = 0  # max unique landmarks per BA window; 0 = 2x feature
+    # capacity. Slot-aligned tracking means a window's unique landmarks stay
+    # well under P*N (one slot = one landmark until reseed/rebind), so the
+    # dense Schur block tensors can shrink from P*N to this cap; overflow
+    # observations are masked out (graceful, never wrong-indexed)
     traj_cap: int = 1024  # device trajectory capacity (frames)
     lk_impl: str = "tap"  # LK tracker backend: tap | pallas | auto
 
@@ -68,7 +73,7 @@ class StepState(NamedTuple):
     """Device-resident state threaded through frames.
 
     Nothing here is fetched to the host in the steady-state loop — the
-    trajectory history and the BA window ring live on device so the whole
+    trajectory and per-frame table histories live on device so the whole
     run is a chain of dispatches with one final readback.
     """
 
@@ -85,9 +90,6 @@ class StepState(NamedTuple):
     k: jax.Array  # () i32 — current frame index
     R_hist: jax.Array  # (T, 3, 3) trajectory history
     t_hist: jax.Array  # (T, 3)
-    win_xy: jax.Array  # (P, N, 2) BA window feature ring (slot = frame % P)
-    win_valid: jax.Array  # (P, N)
-    win_lm: jax.Array  # (P, N)
     # Full per-frame observation history (feature tables for every processed
     # frame, ~7 KB/frame in HBM). The reference annotates every frame during
     # the run and draws the CURRENT frame's landmark associations in drawMap
@@ -96,7 +98,9 @@ class StepState(NamedTuple):
     # layer (parallel/global_refine.py) without re-running in modular mode.
     # Slot j holds frame j's FINAL table: the triangulation branch back-writes
     # the source frame (OpenCVFivePointTri.cpp:51), so step j+1 re-writes
-    # slot j with the updated source table.
+    # slot j with the updated source table. The sliding BA window (ba_step)
+    # reads its last-bundle_size frames directly from these rows, so the
+    # history doubles as the BA feature ring.
     tbl_xy_hist: jax.Array  # (T, N, 2)
     tbl_valid_hist: jax.Array  # (T, N)
     tbl_lm_hist: jax.Array  # (T, N)
@@ -109,7 +113,6 @@ def init_state(
     cfg: StepConfig,
 ) -> StepState:
     """Fresh state at frame 0."""
-    P = cfg.bundle_size if cfg.bundle_size > 0 else 1
     N = table.capacity
     eye = jnp.eye(3, dtype=jnp.float32)
     T = cfg.traj_cap
@@ -131,9 +134,6 @@ def init_state(
         k=jnp.int32(0),
         R_hist=jnp.broadcast_to(eye, (T, 3, 3)).copy(),
         t_hist=jnp.zeros((T, 3), jnp.float32),
-        win_xy=jnp.zeros((P, N, 2), jnp.float32).at[0].set(table.xy),
-        win_valid=jnp.zeros((P, N), jnp.bool_).at[0].set(table.valid),
-        win_lm=jnp.full((P, N), -1, jnp.int32).at[0].set(table.landmark),
         tbl_xy_hist=jnp.zeros((T, N, 2), jnp.float32).at[0].set(table.xy),
         tbl_valid_hist=jnp.zeros((T, N), jnp.bool_).at[0].set(table.valid),
         tbl_lm_hist=jnp.full((T, N), -1, jnp.int32).at[0].set(table.landmark),
@@ -239,16 +239,6 @@ def frame_step(
     )
 
     k_new = state.k + 1
-    P = state.win_xy.shape[0]
-    slot_src = state.k % P
-    slot_new = k_new % P
-    win_xy = state.win_xy.at[slot_src].set(src_table.xy).at[slot_new].set(next_table.xy)
-    win_valid = (
-        state.win_valid.at[slot_src].set(src_table.valid).at[slot_new].set(next_table.valid)
-    )
-    win_lm = (
-        state.win_lm.at[slot_src].set(src_table.landmark).at[slot_new].set(next_table.landmark)
-    )
 
     new_state = StepState(
         blocks=new_blocks,
@@ -262,9 +252,6 @@ def frame_step(
         k=k_new,
         R_hist=state.R_hist.at[k_new].set(R_new),
         t_hist=state.t_hist.at[k_new].set(t_new),
-        win_xy=win_xy,
-        win_valid=win_valid,
-        win_lm=win_lm,
         tbl_xy_hist=state.tbl_xy_hist.at[state.k].set(src_table.xy).at[k_new].set(next_table.xy),
         tbl_valid_hist=state.tbl_valid_hist.at[state.k].set(src_table.valid).at[k_new].set(next_table.valid),
         tbl_lm_hist=state.tbl_lm_hist.at[state.k].set(src_table.landmark).at[k_new].set(next_table.landmark),
@@ -315,9 +302,9 @@ def ba_step(state: StepState, K: jax.Array, cfg: StepConfig) -> StepState:
 
     Window semantics match CeresBundleAdjustment.cpp:5-8: after processing
     frame k, the window is the last ``bundle_size`` frames [k-P+1, k]
-    (global frame 0 held fixed). The feature-table ring in the state holds
-    exactly those frames; poses come from the device trajectory history and
-    are written back in place.
+    (global frame 0 held fixed). Feature tables come straight from the
+    device-resident per-frame history rows; poses come from the trajectory
+    history and are written back in place.
     """
     P = cfg.bundle_size
     T = cfg.traj_cap
@@ -325,11 +312,10 @@ def ba_step(state: StepState, K: jax.Array, cfg: StepConfig) -> StepState:
     f_ids = fn - P + jnp.arange(P)  # window frame indices (may be < 0 early)
     present = f_ids >= 0
     f_safe = jnp.clip(f_ids, 0)
-    slots = f_safe % P
 
-    xy = state.win_xy[slots]
-    valid = state.win_valid[slots] & present[:, None]
-    lm = state.win_lm[slots]
+    xy = state.tbl_xy_hist[f_safe]
+    valid = state.tbl_valid_hist[f_safe] & present[:, None]
+    lm = state.tbl_lm_hist[f_safe]
     obs_uv, obs_pose, obs_lm, obs_mask = steps.assemble_ba_window(
         xy, valid, lm, state.map
     )
@@ -338,13 +324,19 @@ def ba_step(state: StepState, K: jax.Array, cfg: StepConfig) -> StepState:
 
     # Compact the window to its unique landmarks: the solver's block tensors
     # are dense over the landmark axis, so shrinking it from map_capacity to
-    # the <= P*N window landmarks cuts BA cost ~an order of magnitude.
-    L_win = obs_lm.shape[0]
+    # the window's live landmarks cuts BA cost ~an order of magnitude. The
+    # unique table is capped (slot-aligned tracking keeps a window's unique
+    # count well under P*N — one slot binds one landmark between reseeds);
+    # observations of landmarks beyond the cap are masked out instead of
+    # mis-indexed.
+    N_cap = xy.shape[1]
+    L_win = cfg.ba_lm_cap if cfg.ba_lm_cap > 0 else 2 * N_cap
     big = jnp.int32(state.map.capacity)
     ids = jnp.where(obs_mask, obs_lm, big)
     uniq = jnp.unique(ids, size=L_win, fill_value=big)
     local = jnp.searchsorted(uniq, ids).astype(jnp.int32)
     local = jnp.minimum(local, L_win - 1)
+    obs_mask = obs_mask & (uniq[local] == ids)
     uniq_safe = jnp.minimum(uniq, state.map.capacity - 1)
     lm_local = state.map.xyz[uniq_safe]
 

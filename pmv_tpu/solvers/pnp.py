@@ -38,12 +38,61 @@ def _project_std(aa: jax.Array, t: jax.Array, X: jax.Array, K: jax.Array) -> jax
     return jnp.stack([u, v], axis=-1)
 
 
+def _smallest_eigvec12(M: jax.Array) -> jax.Array:
+    """Smallest eigenvector of a PSD (12, 12) matrix by ridged inverse
+    iteration (3 LU solves). Under the caller's vmap this lowers to batched
+    LU — orders of magnitude cheaper on TPU than ``eigh``, whose iterative
+    QR sweeps serialize tiny matrices. Hypothesis-grade accuracy only: the
+    DLT null direction is amplified ~1/mu per solve (>= 1e4 vs the next
+    eigendirection), and RANSAC scoring + the GN polish do the precision
+    work downstream."""
+    mu = 1e-7 * jnp.trace(M) / 12.0 + 1e-12
+    lu, piv = jax.scipy.linalg.lu_factor(M + mu * jnp.eye(12, dtype=M.dtype))
+    v = jnp.full((12,), 1.0 / jnp.sqrt(12.0), M.dtype)
+    for _ in range(3):
+        v = jax.scipy.linalg.lu_solve((lu, piv), v)
+        v = v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+    return v
+
+
+def _polar_so3(M: jax.Array) -> jax.Array:
+    """Nearest rotation to a (3, 3) matrix with det > 0: Newton polar
+    iteration ``X <- (X + X^-T) / 2`` with the closed-form adjugate inverse —
+    pure batched elementwise math, replacing the tiny-matrix SVD. Singular
+    values converge as s <- (s + 1/s)/2, so 6 iterations cover anisotropy up
+    to ~10x; degenerate samples produce garbage hypotheses that RANSAC
+    scoring discards like any other bad draw."""
+
+    def inv_T(X):
+        a, b, c = X[0, 0], X[0, 1], X[0, 2]
+        d, e, f = X[1, 0], X[1, 1], X[1, 2]
+        g, h, i = X[2, 0], X[2, 1], X[2, 2]
+        A = e * i - f * h
+        B = -(d * i - f * g)
+        C = d * h - e * g
+        det = a * A + b * B + c * C
+        det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        adj_T = jnp.array(
+            [
+                [A, B, C],
+                [-(b * i - c * h), a * i - c * g, -(a * h - b * g)],
+                [b * f - c * e, -(a * f - c * d), a * e - b * d],
+            ]
+        )
+        return adj_T / det
+
+    X = M
+    for _ in range(6):
+        X = 0.5 * (X + inv_T(X))
+    return X
+
+
 def _dlt_pose(X: jax.Array, x: jax.Array, w: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Weighted DLT for [R|t] from >= 6 3D-2D pairs on unit-plane coords.
 
     X: (N, 3) object points, x: (N, 2) normalized image coords, w: (N,)
-    weights. Returns (R (3,3), t (3,)) with R orthogonalized via SVD and the
-    scale/sign fixed by cheirality (majority positive depth).
+    weights. Returns (R (3,3), t (3,)) with R orthogonalized (Newton polar)
+    and the scale/sign fixed by the determinant.
     """
     N = X.shape[0]
     zeros = jnp.zeros((N, 4), X.dtype)
@@ -52,17 +101,14 @@ def _dlt_pose(X: jax.Array, x: jax.Array, w: jax.Array) -> tuple[jax.Array, jax.
     r2 = jnp.concatenate([zeros, Xh, -x[:, 1:2] * Xh], axis=1)
     A = jnp.concatenate([r1 * w[:, None], r2 * w[:, None]], axis=0)  # (2N, 12)
     AtA = jnp.matmul(A.T, A, precision=_PREC)
-    _, vecs = jnp.linalg.eigh(AtA)
-    P = vecs[:, 0].reshape(3, 4)
+    P = _smallest_eigvec12(AtA).reshape(3, 4)
     M = P[:, :3]
     # M ~ c * R with c = signed cbrt(det M); dividing by c resolves the +-P
     # sign ambiguity of the eigenvector (det((-M)/cbrt(det -M)) is the same).
     detM = jnp.linalg.det(M)
     c = jnp.sign(detM) * jnp.abs(detM) ** (1.0 / 3.0)
     c = jnp.where(jnp.abs(c) < 1e-12, 1e-12, c)
-    U, _, Vt = jnp.linalg.svd(M / c)
-    d = jnp.linalg.det(jnp.matmul(U, Vt, precision=_PREC))
-    R = jnp.matmul(U * jnp.stack([jnp.ones_like(d), jnp.ones_like(d), d]), Vt, precision=_PREC)
+    R = _polar_so3(M / c)
     t = P[:, 3] / c
     return R, t
 

@@ -48,8 +48,9 @@ def save_fused_state(state, path: str | Path, **meta) -> None:
 
     Everything the production loop threads on device is persisted: the
     per-level LK template blocks, the feature table, the landmark map, the
-    current/delta poses, the trajectory history, and the BA window ring —
-    so ``chunk_step`` can resume mid-sequence bit-identically."""
+    current/delta poses, the trajectory history, and the per-frame table
+    history (which doubles as the BA window) — so ``chunk_step`` can resume
+    mid-sequence bit-identically."""
     data: dict = {"fused_version": FORMAT_VERSION, "n_levels": len(state.blocks)}
     for lvl, (reg, r0, c0) in enumerate(state.blocks):
         data[f"blk{lvl}_region"] = np.asarray(reg)
@@ -61,7 +62,7 @@ def save_fused_state(state, path: str | Path, **meta) -> None:
         data[f"map_{name}"] = np.asarray(getattr(state.map, name))
     for name in (
         "R", "t", "R_s", "t_s", "scale", "k",
-        "R_hist", "t_hist", "win_xy", "win_valid", "win_lm",
+        "R_hist", "t_hist",
         "tbl_xy_hist", "tbl_valid_hist", "tbl_lm_hist",
     ):
         data[name] = np.asarray(getattr(state, name))
@@ -108,9 +109,6 @@ def load_fused_state(path: str | Path):
         k=jnp.asarray(z["k"]),
         R_hist=jnp.asarray(z["R_hist"]),
         t_hist=jnp.asarray(z["t_hist"]),
-        win_xy=jnp.asarray(z["win_xy"]),
-        win_valid=jnp.asarray(z["win_valid"]),
-        win_lm=jnp.asarray(z["win_lm"]),
         tbl_xy_hist=jnp.asarray(z["tbl_xy_hist"]),
         tbl_valid_hist=jnp.asarray(z["tbl_valid_hist"]),
         tbl_lm_hist=jnp.asarray(z["tbl_lm_hist"]),
