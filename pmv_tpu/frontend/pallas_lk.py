@@ -152,6 +152,17 @@ def _make_level_kernel(Rg: int, win: int, iters: int):
     return kernel
 
 
+def fits_vmem(Rg: int) -> bool:
+    """Whether the level kernel's scoped-VMEM working set fits Mosaic's
+    16 MB stack. The working set is ~7 region-sized f32 buffers per 128-lane
+    group (template block, search region, row blend, column blend, shift
+    accumulators) — measured: Rg=55 (win=21) allocates ~11 MB and runs;
+    Rg=84 (win=32) requests 25 MB and OOMs. Lane groups cannot shrink below
+    128 (Mosaic block rule), so configs beyond this bound use the XLA tap
+    tracker instead (steps.lk_module resolves 'auto' accordingly)."""
+    return 7 * Rg * Rg * NB * 4 <= 15 * 2**20
+
+
 @functools.partial(jax.jit, static_argnames=("win", "iters", "interpret"))
 def _level_call(blk_t, region_t, scal, win: int, iters: int, interpret: bool):
     Rg, _, N = blk_t.shape

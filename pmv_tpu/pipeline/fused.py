@@ -116,7 +116,7 @@ def init_state(
     N = table.capacity
     eye = jnp.eye(3, dtype=jnp.float32)
     T = cfg.traj_cap
-    lk = steps.lk_module(cfg.lk_impl)
+    lk = steps.lk_module(cfg.lk_impl, cfg.lk_window, cfg.lk_search)
 
     blocks = lk.capture_blocks(
         tuple(pyr), table.xy, win=cfg.lk_window,
@@ -175,7 +175,7 @@ def frame_step(
         )
         # Reseeded slots moved: the cached blocks no longer cover them, so
         # recapture around the updated table (only on reseed frames).
-        lk = steps.lk_module(cfg.lk_impl)
+        lk = steps.lk_module(cfg.lk_impl, cfg.lk_window, cfg.lk_search)
 
         blocks2 = lk.capture_blocks(
             next_pyr, tbl2.xy, win=cfg.lk_window,

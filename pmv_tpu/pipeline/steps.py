@@ -27,14 +27,25 @@ import numpy as _np
 FLIP = _np.diag(_np.array([1.0, 1.0, -1.0], _np.float32))
 
 
-def lk_module(impl: str):
+def lk_module(impl: str, win: int | None = None, search: int | None = None):
     """Resolve an LK tracker implementation name to its module.
 
     ``tap``: XLA tap-matrix tracker (lucas_kanade). ``pallas``: fused VPU
-    kernel (pallas_lk). ``auto``: pallas on TPU backends, tap elsewhere.
+    kernel (pallas_lk). ``auto``: pallas on TPU backends — unless the
+    configured window/search region exceeds the kernel's scoped-VMEM budget
+    (pallas_lk.fits_vmem; e.g. the reference-parity win=32 region is 84x84,
+    beyond Mosaic's 16 MB stack at 128 lanes) — tap elsewhere. Pass
+    ``win``/``search`` wherever the config is at hand so 'auto' can apply
+    the VMEM feasibility check.
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "tap"
+        if impl == "pallas" and win is not None:
+            from pmv_tpu.frontend import pallas_lk
+
+            Rg = lk.region_size(win, lk._resolve_search(win, search or None))
+            if not pallas_lk.fits_vmem(Rg):
+                impl = "tap"
     if impl == "pallas":
         from pmv_tpu.frontend import pallas_lk
 
@@ -88,7 +99,7 @@ def track_step_cached(
     or ``pallas`` (fused VPU kernel, pmv_tpu.frontend.pallas_lk) — the two
     use different block layouts, so ``blocks`` must come from the matching
     module's capture_blocks."""
-    mod = lk_module(impl)
+    mod = lk_module(impl, win, search)
     new_xy, status, new_blocks = mod.track_cached(
         blocks, next_pyr, prev_table.xy, prev_table.valid, win=win, iters=iters,
         search=search if search > 0 else None,
