@@ -176,6 +176,22 @@ def _capture_region(img_padded: jax.Array, center: jax.Array, win: int, search: 
     return _slice_blocks(img_padded, r0, c0, Rg), r0, c0
 
 
+def _capture_region_auto(img_padded: jax.Array, center: jax.Array, win: int, search: int):
+    """Backend-dispatched block capture. On TPU the vmapped dynamic-slice
+    gather from a freshly-written pyramid level costs ~2.3 ms/frame (XLA
+    re-materializes the source layout every frame); the aligned-DMA Pallas
+    kernel (pmv_tpu.frontend.pallas_capture) extracts the same blocks
+    bit-exactly in ~0.3 ms. Both paths are pure block extraction — no
+    arithmetic — so the choice cannot change results."""
+    if jax.default_backend() == "tpu":
+        from pmv_tpu.frontend import pallas_capture
+
+        return pallas_capture.capture_level(
+            img_padded, center, win, search, interpret=False
+        )
+    return _capture_region(img_padded, center, win, search)
+
+
 def _iterate(region, reg_r0, reg_c0, T, Ix, Iy, Gxx, Gxy, Gyy, inv_det,
              guess_padded, win: int, iters: int):
     """The LK iteration loop on a preloaded region block; positions in
@@ -275,7 +291,7 @@ def _track_level_cached(
     )
     T, Ix, Iy, Gxx, Gxy, Gyy, inv_det, min_eig = _template_stats(F, win)
 
-    region, reg_r0, reg_c0 = _capture_region(next_img, guess + PAD, win, search)
+    region, reg_r0, reg_c0 = _capture_region_auto(next_img, guess + PAD, win, search)
     g = _iterate(
         region, reg_r0, reg_c0, T, Ix, Iy, Gxx, Gxy, Gyy, inv_det,
         guess + PAD, win, iters,
@@ -299,7 +315,7 @@ def capture_blocks(
     for lvl, img in enumerate(pyr):
         s = 2.0 ** lvl
         img_p = jnp.pad(img, PAD, mode="edge")
-        out.append(_capture_region(img_p, pts / s + PAD, win, search))
+        out.append(_capture_region_auto(img_p, pts / s + PAD, win, search))
     return tuple(out)
 
 

@@ -209,9 +209,10 @@ def _track_level_cached(
     raw_c = pts_level[:, 0] + PAD - half - 1.0 - blk_c0
     ok = (raw_r > -0.75) & (raw_r < lim + 0.75) & (raw_c > -0.75) & (raw_c < lim + 0.75)
 
-    # search region in the next image: XLA block gather, then one transpose
-    # into the feature-lanes layout the kernel (and the next frame) use
-    region, reg_r0, reg_c0 = lk._capture_region(next_img, guess + PAD, win, search)
+    # search region in the next image (aligned-DMA Pallas extraction on TPU,
+    # XLA block gather elsewhere), then one transpose into the feature-lanes
+    # layout the kernel (and the next frame) use
+    region, reg_r0, reg_c0 = lk._capture_region_auto(next_img, guess + PAD, win, search)
     region_t = jnp.transpose(region, (1, 2, 0))
 
     N = pts_level.shape[0]
@@ -242,7 +243,7 @@ def capture_blocks(pyr: tuple, pts, win: int = 32, search: int | None = None):
     for lvl, img in enumerate(pyr):
         s = 2.0 ** lvl
         img_p = jnp.pad(img, PAD, mode="edge")
-        region, r0, c0 = lk._capture_region(img_p, pts / s + PAD, win, search)
+        region, r0, c0 = lk._capture_region_auto(img_p, pts / s + PAD, win, search)
         out.append((jnp.transpose(region, (1, 2, 0)), r0, c0))
     return tuple(out)
 
