@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from pmv_tpu.core import geometry as geo
+from pmv_tpu.core.linalg import gj_solve
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -158,6 +159,127 @@ def assemble_blocks(tr, lm, obs_uv, obs_pose, obs_lm, obs_mask, pose_free, K, de
     return U, V, Wc, b_pose, b_lm, has_obs
 
 
+def assemble_blocks_grid(tr, lm, obs_uv, local, obs_mask, onehot, pose_free, K, delta):
+    """Grid-structured assembly: observations laid out (P, N) pose-major
+    (slot-aligned windows observe each landmark at most once per pose), with
+    landmark membership as a precomputed one-hot ``onehot`` (P, N, L).
+
+    Semantically identical to :func:`assemble_blocks` (up to f32 summation
+    order), but the five scatter-adds become dense einsums — one-hot
+    contractions are MXU matmuls, while TPU scatter-adds serialize and force
+    awkward output layouts (measured: they made the composed
+    assemble+schur iteration ~2x its isolated parts, tpu_schur_bench.py).
+    The one-hot is iteration-invariant, so callers build it once per solve.
+
+    Returns (U (P,6,6), V (L,3,3), Wc (L,P,6,3), b_pose (P,6), b_lm (L,3),
+    has_obs (L,)).
+    """
+    P, N = obs_mask.shape
+    L = lm.shape[0]
+    tr_o = jnp.broadcast_to(tr[:, None, :], (P, N, 6))
+    lm_o = lm[local]  # (P, N, 3)
+
+    def res_one(tr6, X3, uv):
+        return uv - geo.ba_project(tr6, X3, K)
+
+    r = jax.vmap(jax.vmap(res_one))(tr_o, lm_o, obs_uv)  # (P, N, 2)
+    Jp = jax.vmap(jax.vmap(jax.jacfwd(res_one, argnums=0)))(tr_o, lm_o, obs_uv)
+    Jl = jax.vmap(jax.vmap(jax.jacfwd(res_one, argnums=1)))(tr_o, lm_o, obs_uv)
+    # Inert masked slots even when their residual is NaN/Inf (see
+    # assemble_blocks).
+    r = jnp.where(obs_mask[..., None], r, 0.0)
+    Jp = jnp.where(obs_mask[..., None, None], Jp, 0.0)
+    Jl = jnp.where(obs_mask[..., None, None], Jl, 0.0)
+
+    r2 = jnp.sum(r * r, axis=-1)
+    w = geo.huber_weight(r2, delta) * obs_mask  # (P, N)
+    Jp = Jp * pose_free[:, None, None, None]
+    wJp = Jp * w[..., None, None]
+    wJl = Jl * w[..., None, None]
+
+    U = jnp.einsum("pnik,pnij->pkj", wJp, Jp, precision=_PREC)
+    b_pose = -jnp.einsum("pnik,pni->pk", wJp, r, precision=_PREC)
+    VV = jnp.einsum("pnik,pnij->pnkj", wJl, Jl, precision=_PREC)
+    V = jnp.einsum(
+        "pnl,pnx->lx", onehot, VV.reshape(P, N, 9), precision=_PREC
+    ).reshape(L, 3, 3)
+    WW = jnp.einsum("pnik,pnij->pnkj", wJp, Jl, precision=_PREC)
+    Wc = jnp.einsum(
+        "pnl,pnx->lpx", onehot, WW.reshape(P, N, 18), precision=_PREC
+    ).reshape(L, P, 6, 3)
+    bl = -jnp.einsum("pnik,pni->pnk", wJl, r, precision=_PREC)
+    b_lm = jnp.einsum("pnl,pnk->lk", onehot, bl, precision=_PREC)
+    has_obs = (
+        jnp.einsum("pnl,pn->l", onehot, obs_mask.astype(tr.dtype), precision=_PREC)
+        > 0
+    )
+    return U, V, Wc, b_pose, b_lm, has_obs
+
+
+def _cost_grid(tr, lm, obs_uv, local, obs_mask, K, delta):
+    """Huber cost over (P, N)-grid observations (robust_cost's grid twin)."""
+    tr_o = jnp.broadcast_to(tr[:, None, :], obs_mask.shape + (6,))
+    pred = geo.ba_project(tr_o, lm[local], K)
+    r = obs_uv - pred
+    r2 = jnp.sum(r * r, axis=-1)
+    return jnp.sum(jnp.where(obs_mask, _huber_cost(r2, delta), 0.0))
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "delta", "obs_gate_px"))
+def ba_solve_grid(
+    tr,
+    lm,
+    obs_uv,
+    local,
+    obs_mask,
+    pose_free,
+    K,
+    iters: int = 5,
+    delta: float = 1.0,
+    lam0: float = 1e-4,
+    obs_gate_px: float = 0.0,
+):
+    """:func:`ba_solve` over (P, N)-grid observations with one-hot matmul
+    assembly — the production fused path's BA solver (pipeline.fused.ba_step).
+    Same LM loop, damping, gating and return contract as ba_solve; obs_uv /
+    local / obs_mask are (P, N[, 2]) instead of flat (O,) arrays."""
+    if obs_gate_px > 0:
+        pred = geo.ba_project(
+            jnp.broadcast_to(tr[:, None, :], obs_mask.shape + (6,)), lm[local], K
+        )
+        r0 = obs_uv - pred
+        ok = jnp.sum(r0 * r0, axis=-1) < obs_gate_px * obs_gate_px
+        obs_mask = obs_mask & ok
+
+    L = lm.shape[0]
+    onehot = (
+        (local[..., None] == jnp.arange(L, dtype=local.dtype))
+        & obs_mask[..., None]
+    ).astype(tr.dtype)
+
+    def body(carry, _):
+        tr_c, lm_c, lam, cost = carry
+        U, V, Wc, b_pose, b_lm, has_obs = assemble_blocks_grid(
+            tr_c, lm_c, obs_uv, local, obs_mask, onehot, pose_free, K, delta
+        )
+        dp, dx = schur_solve(U, V, Wc, b_pose, b_lm, has_obs, pose_free, lam)
+        tr_try = tr_c + dp * pose_free[:, None]
+        lm_try = lm_c + dx
+        cost_try = _cost_grid(tr_try, lm_try, obs_uv, local, obs_mask, K, delta)
+        accept = cost_try < cost
+        tr_c = jnp.where(accept, tr_try, tr_c)
+        lm_c = jnp.where(accept, lm_try, lm_c)
+        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-6), jnp.minimum(lam * 4.0, 1e6))
+        cost = jnp.where(accept, cost_try, cost)
+        return (tr_c, lm_c, lam, cost), cost
+
+    cost0 = _cost_grid(tr, lm, obs_uv, local, obs_mask, K, delta)
+    (tr, lm, lam, cost), hist = jax.lax.scan(
+        body, (tr, lm, jnp.asarray(lam0, tr.dtype), cost0), None, length=iters
+    )
+    return tr, lm, {"cost0": cost0, "cost": cost, "history": hist}
+
+
 def schur_solve(U, V, Wc, b_pose, b_lm, has_obs, pose_free, lam, *, psum_axis=None):
     """Damped Schur-complement solve from assembled blocks.
 
@@ -211,7 +333,11 @@ def schur_solve(U, V, Wc, b_pose, b_lm, has_obs, pose_free, lam, *, psum_axis=No
     S_flat = S_flat * m6[:, None] * m6[None, :] + jnp.diag(1.0 - m6)
     b_flat = b_red.reshape(-1) * m6
 
-    dp = jnp.linalg.solve(S_flat, b_flat).reshape(P, 6)
+    # Pivot-free Gauss-Jordan: S is Tikhonov+LM-damped SPD (pinned rows carry
+    # an explicit unit diagonal), and XLA's pivoted LU serializes a lone
+    # (6P, 6P) matrix into ~0.5 ms of scalar latency on TPU (measured —
+    # it was the single most expensive op in the whole BA call).
+    dp = gj_solve(S_flat, b_flat[:, None])[:, 0].reshape(P, 6)
     # Back-substitute landmarks: dx = V^-1 (b_lm - W^T dp).
     Wt_dp = jnp.einsum("lpik,pi->lk", Wc, dp, precision=_PREC)
     dx = jnp.einsum("ljk,lk->lj", V_inv, b_lm - Wt_dp, precision=_PREC)

@@ -42,11 +42,45 @@ from pmv_tpu.frontend import lucas_kanade as lk
 NB = 128  # features per grid program (one lane group)
 
 
+def _select_shift(buf, k0i, w: int, K: int, axis: int):
+    """Per-lane ``buf[k : k+w]`` along ``axis`` (k = k0i, (1, 1, NB) int32 in
+    [0, K-1]) by binary-shift decomposition: ceil(log2(K)) masked static
+    shifts instead of K masked adds — ~4x less VPU work at production
+    shapes (K = 34). Bit b (highest first) conditionally advances the
+    window start by 2^b; the buffer shrinks as the remaining reachable
+    extent drops, so late bits touch barely more than w rows. Selected
+    values are bit-identical to the masked-sum formulation (pure selects,
+    no arithmetic)."""
+    if K <= 1:
+        return buf[:w] if axis == 0 else buf[:, :w]
+    nbits = (K - 1).bit_length()
+    full = w + (1 << nbits) - 1
+    cur = buf.shape[axis]
+    if full > cur:
+        # Zero-pad so every static slice below stays in bounds (the padded
+        # rows are only reachable for k > K-1, which the caller's clip
+        # excludes — they are never selected into the final window).
+        pad_shape = list(buf.shape)
+        pad_shape[axis] = full - cur
+        buf = jnp.concatenate(
+            [buf, jnp.zeros(pad_shape, buf.dtype)], axis=axis
+        )
+    for b in reversed(range(nbits)):
+        s = 1 << b
+        nxt = w + s - 1  # extent still reachable by the remaining low bits
+        bit = (k0i & s) > 0
+        if axis == 0:
+            buf = jnp.where(bit, buf[s : s + nxt], buf[:nxt])
+        else:
+            buf = jnp.where(bit, buf[:, s : s + nxt], buf[:, :nxt])
+    return buf  # after bit 0, extent == w
+
+
 def _masked_window(region, lr, lc, w: int):
     """Bilinear (w, w, NB) windows from a (Rg, Rg, NB) region at per-lane
     float offsets lr, lc (each (1, 1, NB), pre-clipped to [0, Rg-w-1]).
 
-    Separable two-tap blend + masked static-shift selection. The row
+    Separable two-tap blend + binary-shift window selection. The row
     selection slices dim0 (free on TPU); the column selection slices the
     sublane dim (cheap register rotations).
     """
@@ -57,17 +91,12 @@ def _masked_window(region, lr, lc, w: int):
     fr = lr - i0
     # rows: blend the two vertical taps once, densely
     B = (1.0 - fr) * region[:-1] + fr * region[1:]  # (Rg-1, Rg, NB)
-    rows = jnp.zeros((w,) + region.shape[1:], region.dtype)
-    for k in range(K):
-        rows = rows + jnp.where(i0 == k, B[k : k + w], 0.0)
+    rows = _select_shift(B, i0.astype(jnp.int32), w, K, axis=0)
 
     j0 = jnp.floor(lc)
     fc = lc - j0
     C = (1.0 - fc) * rows[:, :-1] + fc * rows[:, 1:]  # (w, Rg-1, NB)
-    out = jnp.zeros((w, w, region.shape[2]), region.dtype)
-    for k in range(K):
-        out = out + jnp.where(j0 == k, C[:, k : k + w], 0.0)
-    return out
+    return _select_shift(C, j0.astype(jnp.int32), w, K, axis=1)
 
 
 def _make_level_kernel(Rg: int, win: int, iters: int):

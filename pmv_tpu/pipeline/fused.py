@@ -340,18 +340,19 @@ def ba_step(state: StepState, K: jax.Array, cfg: StepConfig) -> StepState:
     uniq_safe = jnp.minimum(uniq, state.map.capacity - 1)
     lm_local = state.map.xyz[uniq_safe]
 
-    prob = schur_lm.BAProblem(
-        tr=tr,
-        lm=lm_local,
-        obs_uv=obs_uv,
-        obs_pose=obs_pose,
-        obs_lm=local,
-        obs_mask=obs_mask,
-        pose_free=pose_free,
-        K=K,
-    )
-    tr_out, lm_local_out, _ = schur_lm.ba_solve(
-        prob, iters=cfg.ba_iters, obs_gate_px=cfg.ba_obs_gate_px
+    # Grid solver: the window is pose-major slot-aligned, so observations
+    # reshape to a dense (P, N) grid and assembly becomes one-hot matmuls
+    # instead of scatter-adds (schur_lm.assemble_blocks_grid).
+    tr_out, lm_local_out, _ = schur_lm.ba_solve_grid(
+        tr,
+        lm_local,
+        obs_uv.reshape(P, N_cap, 2),
+        local.reshape(P, N_cap),
+        obs_mask.reshape(P, N_cap),
+        pose_free,
+        K,
+        iters=cfg.ba_iters,
+        obs_gate_px=cfg.ba_obs_gate_px,
     )
     R_new, t_new = geo.ba_params_to_pose(tr_out)
     # Scatter optimized landmarks back to the global map (pad-row trick for

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from pmv_tpu.core import geometry as geo
+from pmv_tpu.core.linalg import det3, gj_inverse, gj_solve
 from pmv_tpu.solvers.ransac import best_hypothesis, sample_minimal_sets
 
 _PREC = jax.lax.Precision.HIGHEST
@@ -40,17 +41,20 @@ def _project_std(aa: jax.Array, t: jax.Array, X: jax.Array, K: jax.Array) -> jax
 
 def _smallest_eigvec12(M: jax.Array) -> jax.Array:
     """Smallest eigenvector of a PSD (12, 12) matrix by ridged inverse
-    iteration (3 LU solves). Under the caller's vmap this lowers to batched
-    LU — orders of magnitude cheaper on TPU than ``eigh``, whose iterative
-    QR sweeps serialize tiny matrices. Hypothesis-grade accuracy only: the
+    iteration (one pivot-free Gauss-Jordan inverse + 3 matvecs). Under the
+    caller's vmap this is pure batched VPU work — orders of magnitude
+    cheaper on TPU than ``eigh`` (iterative QR sweeps serialize tiny
+    matrices) and ~10x cheaper than batched pivoted LU (per-column max
+    search + row swaps; measured 0.56 -> ~0.05 ms at H=128). The ridge
+    keeps every GJ pivot positive. Hypothesis-grade accuracy only: the
     DLT null direction is amplified ~1/mu per solve (>= 1e4 vs the next
     eigendirection), and RANSAC scoring + the GN polish do the precision
     work downstream."""
     mu = 1e-7 * jnp.trace(M) / 12.0 + 1e-12
-    lu, piv = jax.scipy.linalg.lu_factor(M + mu * jnp.eye(12, dtype=M.dtype))
+    Minv = gj_inverse(M + mu * jnp.eye(12, dtype=M.dtype))
     v = jnp.full((12,), 1.0 / jnp.sqrt(12.0), M.dtype)
     for _ in range(3):
-        v = jax.scipy.linalg.lu_solve((lu, piv), v)
+        v = Minv @ v
         v = v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
     return v
 
@@ -105,7 +109,7 @@ def _dlt_pose(X: jax.Array, x: jax.Array, w: jax.Array) -> tuple[jax.Array, jax.
     M = P[:, :3]
     # M ~ c * R with c = signed cbrt(det M); dividing by c resolves the +-P
     # sign ambiguity of the eigenvector (det((-M)/cbrt(det -M)) is the same).
-    detM = jnp.linalg.det(M)
+    detM = det3(M)
     c = jnp.sign(detM) * jnp.abs(detM) ** (1.0 / 3.0)
     c = jnp.where(jnp.abs(c) < 1e-12, 1e-12, c)
     R = _polar_so3(M / c)
@@ -134,7 +138,8 @@ def gauss_newton_refine(
         r = residual(params)
         H = jnp.matmul(J.T, J, precision=_PREC) + 1e-6 * jnp.eye(6, dtype=J.dtype)
         g = jnp.matmul(J.T, r, precision=_PREC)
-        step = jnp.linalg.solve(H, g)
+        step = gj_solve(H, g[:, None])[:, 0]  # damped SPD; pivoted LU is
+        # latency-serial on TPU for a lone 6x6 (10 of these chain per call)
         return params - step
 
     params = jnp.concatenate([aa0, t0])

@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from pmv_tpu.ba.schur_lm import BAProblem, ba_solve, robust_cost
+from pmv_tpu.ba.schur_lm import BAProblem, ba_solve, ba_solve_grid, robust_cost
 from pmv_tpu.core import geometry as geo
 
 K = np.array([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1.0]])
@@ -125,3 +125,58 @@ class TestBASolve:
         prob2 = prob._replace(lm=lm_all)
         _, lm_out, _ = ba_solve(prob2, iters=5)
         np.testing.assert_array_equal(np.asarray(lm_out[-10:]), np.asarray(extra))
+
+
+class TestBASolveGrid:
+    """ba_solve_grid (one-hot matmul assembly, the fused path's solver) must
+    match ba_solve on the same window up to f32 summation-order noise."""
+
+    def _gridify(self, prob, P=5):
+        O = prob.obs_uv.shape[0]
+        N = O // P
+        return (
+            prob.obs_uv.reshape(P, N, 2),
+            prob.obs_lm.reshape(P, N),
+            prob.obs_mask.reshape(P, N),
+        )
+
+    def test_matches_flat_solver(self, rng):
+        prob, tr_gt, X_gt = make_window(rng, noise=0.3)
+        uv, local, mask = self._gridify(prob)
+        tr_f, lm_f, st_f = ba_solve(prob, iters=8)
+        tr_g, lm_g, st_g = ba_solve_grid(
+            prob.tr, prob.lm, uv, local, mask, prob.pose_free, prob.K, iters=8
+        )
+        np.testing.assert_allclose(np.asarray(tr_g), np.asarray(tr_f), atol=5e-4)
+        np.testing.assert_allclose(np.asarray(lm_g), np.asarray(lm_f), atol=5e-3)
+        np.testing.assert_allclose(
+            float(st_g["cost0"]), float(st_f["cost0"]), rtol=1e-6
+        )
+
+    def test_masked_and_duplicate_locals_inert(self, rng):
+        """Masked slots may carry arbitrary (clamped) local ids — they must
+        not contribute, exactly like ba_solve's pad handling."""
+        prob, tr_gt, _ = make_window(rng)
+        uv, local, mask = self._gridify(prob)
+        mask = np.asarray(mask).copy()
+        local = np.asarray(local).copy()
+        uv = np.asarray(uv).copy()
+        mask[:, 40:60] = False
+        local[:, 40:60] = local[:, 0:1]  # duplicate a live landmark's id
+        uv[:, 40:60] += 1e6  # poison masked pixels
+        tr_g, lm_g, _ = ba_solve_grid(
+            prob.tr, prob.lm, jnp.asarray(uv), jnp.asarray(local),
+            jnp.asarray(mask), prob.pose_free, prob.K, iters=15,
+        )
+        np.testing.assert_allclose(np.asarray(tr_g), tr_gt, atol=1e-4)
+
+    def test_obs_gate(self, rng):
+        prob, tr_gt, _ = make_window(rng)
+        uv, local, mask = self._gridify(prob)
+        uv = np.asarray(uv).copy()
+        uv[:, 10:20] += 300.0  # corrupted associations
+        tr_g, _, _ = ba_solve_grid(
+            prob.tr, prob.lm, jnp.asarray(uv), local, mask,
+            prob.pose_free, prob.K, iters=15, obs_gate_px=50.0,
+        )
+        np.testing.assert_allclose(np.asarray(tr_g), tr_gt, atol=1e-3)
