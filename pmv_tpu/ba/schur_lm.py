@@ -216,6 +216,37 @@ def assemble_blocks_grid(tr, lm, obs_uv, local, obs_mask, onehot, pose_free, K, 
     return U, V, Wc, b_pose, b_lm, has_obs
 
 
+def _lm_loop(tr, lm, lam0, iters, step_fn, cost_fn):
+    """The shared LM accept/damping loop (both ba_solve and ba_solve_grid
+    must stay in lockstep — this is the single copy).
+
+    ``step_fn(tr, lm, lam) -> (tr_try, lm_try)`` proposes a damped step;
+    ``cost_fn(tr, lm)`` evaluates the robust cost. Accept iff the cost
+    decreases; on accept lam /= 3 (floored at 1e-6 — in f32 a near-zero lam
+    lets the Schur solve amplify rounding noise along weakly-observed
+    directions), on reject lam *= 4 (capped at 1e6).
+    """
+
+    def body(carry, _):
+        tr_c, lm_c, lam, cost = carry
+        tr_try, lm_try = step_fn(tr_c, lm_c, lam)
+        cost_try = cost_fn(tr_try, lm_try)
+        accept = cost_try < cost
+        tr_c = jnp.where(accept, tr_try, tr_c)
+        lm_c = jnp.where(accept, lm_try, lm_c)
+        lam = jnp.where(
+            accept, jnp.maximum(lam / 3.0, 1e-6), jnp.minimum(lam * 4.0, 1e6)
+        )
+        cost = jnp.where(accept, cost_try, cost)
+        return (tr_c, lm_c, lam, cost), cost
+
+    cost0 = cost_fn(tr, lm)
+    (tr, lm, _, cost), hist = jax.lax.scan(
+        body, (tr, lm, jnp.asarray(lam0, tr.dtype), cost0), None, length=iters
+    )
+    return tr, lm, {"cost0": cost0, "cost": cost, "history": hist}
+
+
 def _cost_grid(tr, lm, obs_uv, local, obs_mask, K, delta):
     """Huber cost over (P, N)-grid observations (robust_cost's grid twin)."""
     tr_o = jnp.broadcast_to(tr[:, None, :], obs_mask.shape + (6,))
@@ -257,27 +288,17 @@ def ba_solve_grid(
         & obs_mask[..., None]
     ).astype(tr.dtype)
 
-    def body(carry, _):
-        tr_c, lm_c, lam, cost = carry
+    def step_fn(tr_c, lm_c, lam):
         U, V, Wc, b_pose, b_lm, has_obs = assemble_blocks_grid(
             tr_c, lm_c, obs_uv, local, obs_mask, onehot, pose_free, K, delta
         )
         dp, dx = schur_solve(U, V, Wc, b_pose, b_lm, has_obs, pose_free, lam)
-        tr_try = tr_c + dp * pose_free[:, None]
-        lm_try = lm_c + dx
-        cost_try = _cost_grid(tr_try, lm_try, obs_uv, local, obs_mask, K, delta)
-        accept = cost_try < cost
-        tr_c = jnp.where(accept, tr_try, tr_c)
-        lm_c = jnp.where(accept, lm_try, lm_c)
-        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-6), jnp.minimum(lam * 4.0, 1e6))
-        cost = jnp.where(accept, cost_try, cost)
-        return (tr_c, lm_c, lam, cost), cost
+        return tr_c + dp * pose_free[:, None], lm_c + dx
 
-    cost0 = _cost_grid(tr, lm, obs_uv, local, obs_mask, K, delta)
-    (tr, lm, lam, cost), hist = jax.lax.scan(
-        body, (tr, lm, jnp.asarray(lam0, tr.dtype), cost0), None, length=iters
-    )
-    return tr, lm, {"cost0": cost0, "cost": cost, "history": hist}
+    def cost_fn(tr_c, lm_c):
+        return _cost_grid(tr_c, lm_c, obs_uv, local, obs_mask, K, delta)
+
+    return _lm_loop(tr, lm, lam0, iters, step_fn, cost_fn)
 
 
 def schur_solve(U, V, Wc, b_pose, b_lm, has_obs, pose_free, lam, *, psum_axis=None):
@@ -379,21 +400,10 @@ def ba_solve(
         ok = jnp.sum(r0 * r0, axis=-1) < obs_gate_px * obs_gate_px
         p = p._replace(obs_mask=p.obs_mask & ok)
 
-    def body(carry, _):
-        tr, lm, lam, cost = carry
-        tr_try, lm_try = _lm_step(tr, lm, p, lam, delta)
-        cost_try = robust_cost(tr_try, lm_try, p, delta)
-        accept = cost_try < cost
-        tr = jnp.where(accept, tr_try, tr)
-        lm = jnp.where(accept, lm_try, lm)
-        # lam floor 1e-6, not 1e-9: in f32 a near-zero lam lets the Schur
-        # solve amplify rounding noise along weakly-observed directions.
-        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-6), jnp.minimum(lam * 4.0, 1e6))
-        cost = jnp.where(accept, cost_try, cost)
-        return (tr, lm, lam, cost), cost
+    def step_fn(tr, lm, lam):
+        return _lm_step(tr, lm, p, lam, delta)
 
-    cost0 = robust_cost(p.tr, p.lm, p, delta)
-    (tr, lm, lam, cost), hist = jax.lax.scan(
-        body, (p.tr, p.lm, jnp.asarray(lam0, p.tr.dtype), cost0), None, length=iters
-    )
-    return tr, lm, {"cost0": cost0, "cost": cost, "history": hist}
+    def cost_fn(tr, lm):
+        return robust_cost(tr, lm, p, delta)
+
+    return _lm_loop(p.tr, p.lm, lam0, iters, step_fn, cost_fn)

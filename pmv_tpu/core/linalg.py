@@ -29,6 +29,9 @@ def gj_solve(A: jax.Array, B: jax.Array) -> jax.Array:
     every pivot positive). For general matrices use ``jnp.linalg.solve``.
     """
     n = A.shape[-1]
+    batch = jnp.broadcast_shapes(A.shape[:-2], B.shape[:-2])
+    A = jnp.broadcast_to(A, batch + A.shape[-2:])
+    B = jnp.broadcast_to(B, batch + B.shape[-2:])
     M = jnp.concatenate([A, B.astype(A.dtype)], axis=-1)  # (..., n, n+k)
 
     def step(i, M):

@@ -53,6 +53,10 @@ def _select_shift(buf, k0i, w: int, K: int, axis: int):
     no arithmetic)."""
     if K <= 1:
         return buf[:w] if axis == 0 else buf[:, :w]
+    # Out-of-range offsets would otherwise select an arbitrary in-bounds
+    # window (the old masked-sum formulation produced zeros instead); all
+    # callers clip, but the precondition is load-bearing — enforce it.
+    k0i = jnp.clip(k0i, 0, K - 1)
     nbits = (K - 1).bit_length()
     full = w + (1 << nbits) - 1
     cur = buf.shape[axis]

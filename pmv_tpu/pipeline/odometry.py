@@ -473,7 +473,16 @@ class OdometryPipeline:
         cfg = self.cfg
         if cfg.matcher != "lk":
             # Alternate matchers (kNN patch matching) run through the
-            # modular per-stage loop; the fused step is LK-only.
+            # modular per-stage loop; the fused step is LK-only. Say so
+            # loudly (not just under verbose): the modular loop dispatches
+            # once per stage and runs ~5-10x slower than the fused path
+            # (measured: PERFORMANCE.md "High-density FAST+kNN").
+            print(
+                f"pmv_tpu: matcher={cfg.matcher!r} is not fused — falling back "
+                "to the modular per-stage loop (expect ~5-10x lower fps than "
+                "matcher='lk'; see PERFORMANCE.md)",
+                flush=True,
+            )
             return self.run_modular()
         init_paths = self.file_names[: cfg.init_frames]
         init_imgs = [img for _, img in FramePrefetcher(init_paths)]

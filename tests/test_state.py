@@ -16,7 +16,7 @@ class TestFeatureTable:
         ft = FeatureTable.empty(8)
         ft = ft._replace(
             valid=ft.valid.at[:4].set(True),
-            landmark=ft.landmark.at[:4].set(jnp.array([0, 1, 2, -1])),
+            landmark=ft.landmark.at[:4].set(jnp.array([0, 1, 2, -1], jnp.int32)),
         )
         alive = jnp.array([True, False, True, True])
         # features 0 and 2 bound to alive landmarks; 1 dead; 3 unbound
