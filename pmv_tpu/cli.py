@@ -25,6 +25,10 @@ def main(argv: list[str] | None = None) -> int:
     run_p.add_argument("--platform", default=None, help="force jax platform (cpu)")
     run_p.add_argument("--trace", default=None, metavar="DIR",
                        help="write a jax.profiler trace of the run to DIR")
+    run_p.add_argument("--live", type=int, default=0, metavar="N",
+                       help="write a live trajectory map (map_live.png) every"
+                       " N frames during the run — the headless analogue of"
+                       " the reference's during-run map window")
 
     synth_p = sub.add_parser("synth", help="generate a synthetic KITTI-layout dataset")
     synth_p.add_argument("out_dir")
@@ -72,6 +76,8 @@ def main(argv: list[str] | None = None) -> int:
     except OdometryPipelineException as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
+    if args.live:
+        pipe.cfg.live_every = args.live
     from pmv_tpu.utils.profiling import trace
 
     with trace(args.trace):

@@ -91,6 +91,10 @@ class VOConfig:
     # reprojection residual exceeds this (px); 0 = off (reference parity).
     # Recommended ~4 px on scenes with moving objects/occlusions
     ba_window_obs: int = 4096      # max observations per BA window
+    ba_lm_cap: int = 0             # max unique landmarks per fused-path BA
+    # window (0 = 2x feature_capacity). Overflow observations are masked
+    # out, never mis-indexed; raise it if a dense-pool config overflows
+    # (the fused loop warns when a window saturates the cap)
     chunk_frames: int = 8          # frames per device dispatch (lax.scan chunk)
     traj_cap: int = 2048           # device trajectory-history capacity. A TRUE
     # constant across runs: it is a static shape of every compiled program, so
@@ -110,6 +114,16 @@ class VOConfig:
     # well-conditioned without changing the PnP-vs-triangulation branch
     # point: on the 600-frame bench it removed every seed-dependent heading
     # divergence (ATE 280-540 m -> 9-15 m; PERFORMANCE.md round 2)
+    map_hist: int = 1              # 1 = snapshot landmark positions at BA
+    # cadence on device so the video replay draws frame k's dots at their
+    # THEN-current coordinates like the reference's drawMap
+    # (OdometryPipeline.cpp:110-127); 0 = off (replay falls back to final
+    # optimized positions). Costs (traj_cap/cadence) x map_capacity x 12 B
+    # of HBM (~64 MB at defaults); read back only when a video is rendered
+    live_every: int = 0            # write a live trajectory map
+    # (map_live.png next to error_path) every N processed frames during the
+    # run — the headless analogue of the reference's during-run cv::imshow
+    # map (OdometryPipeline.cpp:423-425). 0 = off
     lk_impl: str = "auto"          # LK tracker backend: tap (XLA tap-matrix
     # matmuls) | pallas (fused VPU kernel, pmv_tpu.frontend.pallas_lk,
     # 1.63x the tap path on chip) | auto (pallas on TPU, tap elsewhere)

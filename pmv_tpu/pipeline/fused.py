@@ -67,6 +67,13 @@ class StepConfig(NamedTuple):
     # observations are masked out (graceful, never wrong-indexed)
     traj_cap: int = 1024  # device trajectory capacity (frames)
     lk_impl: str = "tap"  # LK tracker backend: tap | pallas | auto
+    map_hist_rows: int = 0  # landmark-position snapshot rows (0 = off).
+    # The reference's drawMap reads each landmark's CURRENT position at draw
+    # time (OdometryPipeline.cpp:110-127); positions only change at BA, so a
+    # per-BA-cadence snapshot of map.xyz ((rows, M, 3) in HBM, ~96 KB/row at
+    # M=8192) lets the post-run replay draw frame k's dots where they were
+    # THEN, not at their final optimized coordinates. Row k//cadence is
+    # (re)written every frame, so insertions between BA calls are captured.
 
 
 class StepState(NamedTuple):
@@ -104,6 +111,10 @@ class StepState(NamedTuple):
     tbl_xy_hist: jax.Array  # (T, N, 2)
     tbl_valid_hist: jax.Array  # (T, N)
     tbl_lm_hist: jax.Array  # (T, N)
+    # Landmark-position snapshots at BA cadence (StepConfig.map_hist_rows;
+    # (rows, M, 3), rows may be 0 = disabled). Read back only when the run
+    # renders video (viz/render.py replay).
+    map_hist: jax.Array = None
 
 
 def init_state(
@@ -137,6 +148,9 @@ def init_state(
         tbl_xy_hist=jnp.zeros((T, N, 2), jnp.float32).at[0].set(table.xy),
         tbl_valid_hist=jnp.zeros((T, N), jnp.bool_).at[0].set(table.valid),
         tbl_lm_hist=jnp.full((T, N), -1, jnp.int32).at[0].set(table.landmark),
+        map_hist=jnp.zeros(
+            (cfg.map_hist_rows, map_state.capacity, 3), jnp.float32
+        ),
     )
 
 
@@ -255,6 +269,7 @@ def frame_step(
         tbl_xy_hist=state.tbl_xy_hist.at[state.k].set(src_table.xy).at[k_new].set(next_table.xy),
         tbl_valid_hist=state.tbl_valid_hist.at[state.k].set(src_table.valid).at[k_new].set(next_table.valid),
         tbl_lm_hist=state.tbl_lm_hist.at[state.k].set(src_table.landmark).at[k_new].set(next_table.landmark),
+        map_hist=state.map_hist,
     )
     stats = {
         "tracked": tracked,
@@ -291,6 +306,11 @@ def chunk_step(
         j = s.k - 1
         do_ba = (cfg.bundle_size > 0) & (j > 0) & (j % cadence == 0)
         s = lax.cond(do_ba, lambda ss: ba_step(ss, K, cfg), lambda ss: ss, s)
+        if cfg.map_hist_rows > 0:
+            # Snapshot the landmark positions for the replay (row k//cadence,
+            # re-written each frame of the cadence group so insertions land).
+            row = jnp.minimum(s.k // cadence, cfg.map_hist_rows - 1)
+            s = s._replace(map_hist=s.map_hist.at[row].set(s.map.xyz))
         return s, stats
 
     return lax.scan(body, state, (imgs_u8, gt_steps, keys))

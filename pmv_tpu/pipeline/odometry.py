@@ -73,6 +73,10 @@ class OdometryPipeline:
         )
         self._prev_pyr = None
         self._ba_calls = 0  # actual BA invocations this run (bench metric)
+        # Landmark-position snapshot history at BA cadence (filled by run()
+        # when cfg.map_hist and a video is requested; viz/render.py replay).
+        self.map_hist: np.ndarray | None = None
+        self.map_hist_cadence = self._ba_cadence
 
     # ------------------------------------------------------------------
     # helpers
@@ -461,7 +465,11 @@ class OdometryPipeline:
             ba_iters=cfg.max_iterations,
             ba_cadence=cfg.ba_cadence,
             ba_obs_gate_px=cfg.ba_obs_gate_px,
+            ba_lm_cap=cfg.ba_lm_cap,
             traj_cap=cfg.traj_cap,
+            map_hist_rows=(
+                cfg.traj_cap // self._ba_cadence + 2 if cfg.map_hist else 0
+            ),
         )
 
     def run(self) -> dict:
@@ -586,6 +594,36 @@ class OdometryPipeline:
             tmp.replace(cfg.checkpoint_path)
             last_saved = k_last
 
+        last_live = k_last
+
+        def maybe_live(state):
+            """During-run observability: write the trajectory map every
+            ``live_every`` frames — the headless counterpart of the
+            reference's per-frame cv::imshow map (OdometryPipeline.cpp:
+            423-425). Reads back only the small state (~250 KB)."""
+            nonlocal last_live
+            if cfg.live_every <= 0 or k_last - last_live < cfg.live_every:
+                return
+            last_live = k_last
+            from pmv_tpu.io.png import write_png
+            from pmv_tpu.viz import render as render_mod
+
+            sk = int(state.k)
+            t_h, R_h, xyz, alive = jax.device_get(
+                (state.t_hist, state.R_hist, state.map.xyz, state.map.alive)
+            )
+            m = render_mod.draw_map(
+                [t_h[i] for i in range(sk + 1)],
+                self.gt_t,
+                self.init_offset,
+                cfg.map_scale,
+                landmarks=xyz[alive],
+                R_est=[R_h[i] for i in range(sk + 1)],
+                gt_R=self.gt_R,
+            )
+            out = Path(cfg.error_path or "map_live.png")
+            write_png(out.parent / "map_live.png", m)
+
         last_saved = k_last
         for _, img in FramePrefetcher(paths):
             k = k_last + 1
@@ -599,6 +637,7 @@ class OdometryPipeline:
             if len(buf_img) == C:
                 state = enqueue(state)
                 maybe_checkpoint(state)
+                maybe_live(state)
         state = enqueue(state)
         if pending is not None:
             state = dispatch(state, pending)
@@ -630,6 +669,12 @@ class OdometryPipeline:
         txy, tvalid, tlm = jax.device_get(
             (state.tbl_xy_hist, state.tbl_valid_hist, state.tbl_lm_hist)
         )
+        # The landmark-position snapshot history is large (~64 MB) and only
+        # the video replay needs it — read it back only when one will be
+        # rendered (the tunnel sustains ~25 MB/s on readback).
+        if step_cfg.map_hist_rows > 0 and (cfg.video_path or cfg.fancy_video):
+            self.map_hist = np.asarray(jax.device_get(state.map_hist))
+            self.map_hist_cadence = cadence
         self.tables = [
             FeatureTable(
                 xy=jnp.asarray(txy[i]),

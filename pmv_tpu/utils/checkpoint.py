@@ -16,7 +16,8 @@ import numpy as np
 
 from pmv_tpu.core.state import FeatureTable, MapState
 
-FORMAT_VERSION = 2  # v2: StepState gained the per-frame table history
+FORMAT_VERSION = 3  # v3: StepState gained the landmark-snapshot history
+# (map_hist); v2 added the per-frame table history
 
 
 def save(pipe, path: str | Path) -> None:
@@ -63,7 +64,7 @@ def save_fused_state(state, path: str | Path, **meta) -> None:
     for name in (
         "R", "t", "R_s", "t_s", "scale", "k",
         "R_hist", "t_hist",
-        "tbl_xy_hist", "tbl_valid_hist", "tbl_lm_hist",
+        "tbl_xy_hist", "tbl_valid_hist", "tbl_lm_hist", "map_hist",
     ):
         data[name] = np.asarray(getattr(state, name))
     for key, val in meta.items():
@@ -112,6 +113,7 @@ def load_fused_state(path: str | Path):
         tbl_xy_hist=jnp.asarray(z["tbl_xy_hist"]),
         tbl_valid_hist=jnp.asarray(z["tbl_valid_hist"]),
         tbl_lm_hist=jnp.asarray(z["tbl_lm_hist"]),
+        map_hist=jnp.asarray(z["map_hist"]),
     )
     meta = {
         key[len("meta_"):]: z[key] for key in z.files if key.startswith("meta_")

@@ -266,6 +266,14 @@ def save_run_visuals(pipe, out_dir: str | Path | None = None) -> dict:
         live = LiveMapRenderer(pipe) if pipe.cfg.fancy_video else None
         map_xyz = np.asarray(pipe.map.xyz)
         map_alive = np.asarray(pipe.map.alive)
+        # Per-frame landmark POSITIONS: the fused run snapshots map.xyz at BA
+        # cadence (StepState.map_hist), so the replay can draw frame k's dots
+        # where they were THEN — matching drawMap's read-at-draw-time
+        # semantics (OdometryPipeline.cpp:110-127) to within one cadence
+        # group. Runs without the history (modular loop, map_hist=0) fall
+        # back to the final optimized coordinates.
+        hist = getattr(pipe, "map_hist", None)
+        hist_cad = max(1, getattr(pipe, "map_hist_cadence", 1))
         for idx, img in FramePrefetcher(pipe.file_names[start:stop]):
             k = idx  # trajectory index
             if k >= len(pipe.t):
@@ -275,9 +283,8 @@ def save_run_visuals(pipe, out_dir: str | Path | None = None) -> dict:
             # the frame and map dots only for features bound to a live
             # landmark, colored by the feature's image side. The fused run
             # persists every frame's table (StepState.tbl_*_hist), so the
-            # replay is per-frame live. (Deviation: dot positions use the
-            # final optimized landmark coordinates — the device map holds one
-            # evolving copy — while the SET of dots is frame k's own.)
+            # replay is per-frame live; dot POSITIONS come from the frame's
+            # cadence-group snapshot when map_hist was recorded.
             lm_k = cols_k = None
             if k < len(pipe.tables):
                 tbl = pipe.tables[k]
@@ -286,7 +293,12 @@ def save_run_visuals(pipe, out_dir: str | Path | None = None) -> dict:
                 bound = np.asarray(tbl.valid) & (lm >= 0)
                 bound[bound] &= map_alive[lm[bound]]
                 frame = annotate_frame(img, xy, bound)
-                lm_k = map_xyz[lm[bound]]
+                xyz_k = (
+                    hist[min(k // hist_cad, len(hist) - 1)]
+                    if hist is not None and len(hist)
+                    else map_xyz
+                )
+                lm_k = xyz_k[lm[bound]]
                 cols_k = xy[bound, 0]
             else:
                 frame = np.stack([np.clip(img, 0, 255).astype(np.uint8)] * 3, -1)

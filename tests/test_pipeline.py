@@ -93,7 +93,7 @@ class TestReseed:
         img = blob_image((96, 128), [(20, 20), (50, 40), (90, 70), (110, 30)])
         table = FeatureTable.empty(8)
         table = table._replace(
-            xy=table.xy.at[0].set(jnp.array([20.0, 20.0])),
+            xy=table.xy.at[0].set(jnp.array([20.0, 20.0], jnp.float32)),
             valid=table.valid.at[0].set(True),
             landmark=table.landmark.at[0].set(42),
         )
@@ -147,3 +147,68 @@ class TestEndToEnd:
         ]
         for l in lines:
             float(l.split(":")[1])  # every value parses
+
+
+class TestMapHistoryAndLive:
+    """Landmark-position snapshot history (StepState.map_hist) + the live
+    during-run map — the drawMap read-at-draw-time semantics
+    (OdometryPipeline.cpp:110-127, :423-425)."""
+
+    def test_mid_run_snapshot_differs_from_final(self, dataset, tmp_path):
+        seq, paths = dataset
+        # video_path triggers the map_hist readback in run().
+        cfg = make_cfg(paths, video_path=str(tmp_path / "out.avi"))
+        pipe = OdometryPipeline(cfg)
+        pipe.run()
+        assert pipe.map_hist is not None and len(pipe.map_hist) > 2
+        cad = pipe.map_hist_cadence
+        final = np.asarray(pipe.map.xyz)
+        alive = np.asarray(pipe.map.alive)
+        k_last = len(pipe.t) - 1
+        # The last written row must equal the final map exactly.
+        last_row = min(k_last // cad, len(pipe.map_hist) - 1)
+        np.testing.assert_array_equal(pipe.map_hist[last_row], final)
+        # A mid-run frame's THEN-current positions must differ from the
+        # final optimized positions for at least one of its live landmarks
+        # (BA keeps refining them afterwards).
+        k_mid = k_last // 2
+        tbl = pipe.tables[k_mid]
+        lm = np.asarray(tbl.landmark)
+        bound = np.asarray(tbl.valid) & (lm >= 0)
+        bound[bound] &= alive[lm[bound]]
+        ids = lm[bound]
+        assert ids.size > 0
+        then = pipe.map_hist[min(k_mid // cad, len(pipe.map_hist) - 1)][ids]
+        assert np.abs(then - final[ids]).max() > 1e-6, (
+            "mid-run snapshot positions identical to final — history inert"
+        )
+
+    def test_replay_uses_snapshots(self, dataset, tmp_path):
+        from pmv_tpu.viz.render import save_run_visuals
+
+        seq, paths = dataset
+        cfg = make_cfg(
+            paths, video_path=str(tmp_path / "out.avi"), fancy_video=1,
+            error_path=str(tmp_path / "err.txt"),
+        )
+        pipe = OdometryPipeline(cfg)
+        pipe.run()
+        artifacts = save_run_visuals(pipe, tmp_path)
+        assert (tmp_path / "map.png").exists()
+        assert "video" in artifacts
+
+    def test_live_map_written(self, dataset, tmp_path):
+        seq, paths = dataset
+        cfg = make_cfg(
+            paths, live_every=5, error_path=str(tmp_path / "err.txt")
+        )
+        pipe = OdometryPipeline(cfg)
+        pipe.run()
+        assert (tmp_path / "map_live.png").exists()
+
+    def test_map_hist_off(self, dataset, tmp_path):
+        seq, paths = dataset
+        cfg = make_cfg(paths, map_hist=0, video_path=str(tmp_path / "o.avi"))
+        pipe = OdometryPipeline(cfg)
+        pipe.run()
+        assert pipe.map_hist is None  # disabled: no readback, replay falls back
