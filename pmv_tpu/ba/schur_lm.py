@@ -313,9 +313,6 @@ def schur_solve(U, V, Wc, b_pose, b_lm, has_obs, pose_free, lam, *, psum_axis=No
     dtype = b_pose.dtype
     eyeP = jnp.eye(6, dtype=dtype)
     eyeL = jnp.eye(3, dtype=dtype)
-    if psum_axis is not None:
-        U = jax.lax.psum(U, psum_axis)
-        b_pose = jax.lax.psum(b_pose, psum_axis)
     # f32 gauge hygiene: the window often has NO pinned pose (reference
     # semantics, CeresBundleAdjustment.cpp:22-24 skips only global frame 0),
     # so the normal equations carry a 7-DOF null space. Ceres survives it in
@@ -326,23 +323,29 @@ def schur_solve(U, V, Wc, b_pose, b_lm, has_obs, pose_free, lam, *, psum_axis=No
     # data directions (diag(U) sets the problem's scale).
     # (muV is per-landmark-block so the landmark-sharded and single-device
     # paths compute identical damping regardless of shard boundaries.)
-    muP = 1e-6 * jnp.mean(jnp.abs(jnp.diagonal(U, axis1=-2, axis2=-1))) + 1e-9
     muV = (
         1e-6 * jnp.mean(jnp.abs(jnp.diagonal(V, axis1=-2, axis2=-1)), axis=-1)
         + 1e-9
     )[:, None, None]
-    U_d = U + lam * (U * eyeP) + muP * eyeP
     V_d = V + lam * (V * eyeL) + muV * eyeL
 
     V_inv = _inv3x3(V_d)  # (L, 3, 3)
     Y = jnp.einsum("lpij,ljk->lpik", Wc, V_inv, precision=_PREC)  # (L, P, 6, 3)
 
-    # Reduced camera system S = U_d - sum_l W V^-1 W^T.
+    # Reduced camera system S = U_d - sum_l W V^-1 W^T. The correction terms
+    # depend only on landmark-local blocks, so the sharded path defers the
+    # U/b_pose reduction and ships everything in ONE fused all-reduce per LM
+    # iteration (4 adjacent psums XLA combines; the payload — ~4.6 KB at
+    # P=5 — is unchanged, but the barrier count per iteration drops 4 -> 1,
+    # which is the dominant sharding overhead in the latency-bound regime).
     S_corr = jnp.einsum("lpik,lqjk->piqj", Y, Wc, precision=_PREC)
     b_corr = jnp.einsum("lpik,lk->pi", Y, b_lm, precision=_PREC)
     if psum_axis is not None:
-        S_corr = jax.lax.psum(S_corr, psum_axis)
-        b_corr = jax.lax.psum(b_corr, psum_axis)
+        U, b_pose, S_corr, b_corr = jax.lax.psum(
+            (U, b_pose, S_corr, b_corr), psum_axis
+        )
+    muP = 1e-6 * jnp.mean(jnp.abs(jnp.diagonal(U, axis1=-2, axis2=-1))) + 1e-9
+    U_d = U + lam * (U * eyeP) + muP * eyeP
     S = jnp.zeros((P, 6, P, 6), dtype)
     S = S.at[jnp.arange(P), :, jnp.arange(P), :].add(U_d)
     S = S - S_corr

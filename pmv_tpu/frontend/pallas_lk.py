@@ -84,52 +84,57 @@ def _masked_window(region, lr, lc, w: int):
     """Bilinear (w, w, NB) windows from a (Rg, Rg, NB) region at per-lane
     float offsets lr, lc (each (1, 1, NB), pre-clipped to [0, Rg-w-1]).
 
-    Separable two-tap blend + binary-shift window selection. The row
-    selection slices dim0 (free on TPU); the column selection slices the
-    sublane dim (cheap register rotations).
+    Binary-shift window selection FIRST (w+1 rows/cols of the raw region),
+    then the separable two-tap blend on the selected strip. Selecting before
+    blending is bit-identical to blending the whole region and selecting
+    after (the blend is elementwise with one shared fractional weight per
+    lane: rows[k] = (1-fr)*region[i0+k] + fr*region[i0+k+1] either way), but
+    it never materializes a region-sized blend buffer — the VMEM saving that
+    lets the win=32 (Rg=84) reference configuration fit the kernel — and
+    runs the blend over w+1 rows instead of Rg. The row selection slices
+    dim0 (free on TPU); the column selection slices the sublane dim (cheap
+    register rotations).
     """
     Rg = region.shape[0]
     K = Rg - w  # possible integer offsets: floor(lr) in [0, Rg-w-1]
 
     i0 = jnp.floor(lr)
     fr = lr - i0
-    # rows: blend the two vertical taps once, densely
-    B = (1.0 - fr) * region[:-1] + fr * region[1:]  # (Rg-1, Rg, NB)
-    rows = _select_shift(B, i0.astype(jnp.int32), w, K, axis=0)
+    raw = _select_shift(region, i0.astype(jnp.int32), w + 1, K, axis=0)
+    rows = (1.0 - fr) * raw[:-1] + fr * raw[1:]  # (w, Rg, NB)
 
     j0 = jnp.floor(lc)
     fc = lc - j0
-    C = (1.0 - fc) * rows[:, :-1] + fc * rows[:, 1:]  # (w, Rg-1, NB)
-    return _select_shift(C, j0.astype(jnp.int32), w, K, axis=1)
+    rawc = _select_shift(rows, j0.astype(jnp.int32), w + 1, K, axis=1)
+    return (1.0 - fc) * rawc[:, :-1] + fc * rawc[:, 1:]  # (w, w, NB)
 
 
-def _make_level_kernel(Rg: int, win: int, iters: int):
-    """Kernel for one pyramid level over NB features.
+def _make_template_kernel(Rg: int, win: int):
+    """Template-statistics kernel for one pyramid level over NB features.
 
-    Inputs: blk (Rg, Rg, NB) template region; region (Rg, Rg, NB) search
-    region; scal (8, NB) rows [traw_r, traw_c, g_r, g_c, reg_r0, reg_c0]
-    (template offsets, guess in padded-image coords, region origins).
-    Output: (8, NB) rows [g_r', g_c', min_eig].
+    Inputs: blk (Rg, Rg, NB) cached template region; scal (8, NB) rows
+    [traw_r, traw_c] (float template offsets inside the block). Outputs:
+    T / Ix / Iy (win, win, NB) and stats (8, NB) rows
+    [Gxx, Gxy, Gyy, inv_det, min_eig] — exactly the quantities of
+    lucas_kanade._template_stats.
 
-    The guess is carried in global padded coordinates and localized as
-    ``(g - half) - reg0`` each iteration — the exact float association of
-    lucas_kanade._iterate, keeping the two backends bit-identical where
-    the underlying ops are (CPU interpreter vs XLA CPU).
+    Splitting the template pass from the iteration loop gives each kernel
+    its own scoped-VMEM stack: the fused single-kernel form needed both the
+    template block AND the search region (plus their selection temporaries)
+    live at once, which overflowed Mosaic's 16 MB budget at the reference
+    win=32 (Rg=84). The T/Ix/Iy handoff is an exact f32 round trip, so the
+    split is bit-identical to the fused kernel.
     """
-    half = (win - 1) / 2.0
     t_lim = Rg - (win + 2) - 1e-5
-    i_lim = Rg - win - 1.000001
 
-    def kernel(blk_ref, region_ref, scal_ref, out_ref):
+    def kernel(blk_ref, scal_ref, T_ref, Ix_ref, Iy_ref, st_ref):
         blk = blk_ref[:]
-        region = region_ref[:]
         nb = blk.shape[2]
 
         def v(i):  # (1, 1, NB) per-lane scalar row
             return scal_ref[i : i + 1, :].reshape(1, 1, nb)
 
-        # --- template: fractional (win+2, win+2) window + stats
-        # (mirrors lucas_kanade._template_stats) ---
+        # (mirrors lucas_kanade._template_stats)
         F = _masked_window(
             blk,
             jnp.clip(v(0), 0.0, t_lim),
@@ -148,10 +153,58 @@ def _make_level_kernel(Rg: int, win: int, iters: int):
         min_eig = (mean - rad) / (win * win)
         inv_det = jnp.where(det > 1e-6, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
 
-        # --- LK iterations on the VMEM-resident search region
-        # (mirrors lucas_kanade._iterate, same float association) ---
-        reg_r0 = v(4)
-        reg_c0 = v(5)
+        T_ref[:] = T
+        Ix_ref[:] = Ix
+        Iy_ref[:] = Iy
+        # Mosaic has no in-kernel scatter: assemble by concatenation.
+        st_ref[:] = jnp.concatenate(
+            [
+                Gxx.reshape(1, nb),
+                Gxy.reshape(1, nb),
+                Gyy.reshape(1, nb),
+                inv_det.reshape(1, nb),
+                min_eig.reshape(1, nb),
+                jnp.zeros((3, nb), blk.dtype),
+            ],
+            axis=0,
+        )
+
+    return kernel
+
+
+def _make_iter_kernel(Rg: int, win: int, iters: int):
+    """LK iteration kernel: runs all ``iters`` updates with the search
+    region VMEM-resident.
+
+    Inputs: region (Rg, Rg, NB); T / Ix / Iy (win, win, NB) from the
+    template kernel; st (8, NB) rows [Gxx, Gxy, Gyy, inv_det]; scal (8, NB)
+    with rows 2-5 = [g_r, g_c, reg_r0, reg_c0] (the caller's shared layout,
+    rows 0-1 are the template offsets). Output: (8, NB) rows [g_r', g_c'].
+
+    The guess is carried in global padded coordinates and localized as
+    ``(g - half) - reg0`` each iteration — the exact float association of
+    lucas_kanade._iterate, keeping the two backends bit-identical where
+    the underlying ops are (CPU interpreter vs XLA CPU).
+    """
+    half = (win - 1) / 2.0
+    i_lim = Rg - win - 1.000001
+
+    def kernel(region_ref, T_ref, Ix_ref, Iy_ref, st_ref, scal_ref, out_ref):
+        region = region_ref[:]
+        T = T_ref[:]
+        Ix = Ix_ref[:]
+        Iy = Iy_ref[:]
+        nb = region.shape[2]
+
+        def sv(ref, i):  # (1, 1, NB) per-lane scalar row
+            return ref[i : i + 1, :].reshape(1, 1, nb)
+
+        Gxx = sv(st_ref, 0)
+        Gxy = sv(st_ref, 1)
+        Gyy = sv(st_ref, 2)
+        inv_det = sv(st_ref, 3)
+        reg_r0 = sv(scal_ref, 4)
+        reg_c0 = sv(scal_ref, 5)
 
         def body(_, g):
             g_r, g_c = g
@@ -168,16 +221,14 @@ def _make_level_kernel(Rg: int, win: int, iters: int):
             dv = (Gxx * by - Gxy * bx) * inv_det
             return (g_r + dv, g_c + du)
 
-        g_r, g_c = lax.fori_loop(0, iters, body, (v(2), v(3)))
-
-        # Mosaic has no in-kernel scatter: assemble the output by
-        # concatenation instead of .at[].set.
+        g_r, g_c = lax.fori_loop(
+            0, iters, body, (sv(scal_ref, 2), sv(scal_ref, 3))
+        )
         out_ref[:] = jnp.concatenate(
             [
                 g_r.reshape(1, nb),
                 g_c.reshape(1, nb),
-                min_eig.reshape(1, nb),
-                jnp.zeros((5, nb), blk.dtype),
+                jnp.zeros((6, nb), region.dtype),
             ],
             axis=0,
         )
@@ -186,33 +237,47 @@ def _make_level_kernel(Rg: int, win: int, iters: int):
 
 
 def fits_vmem(Rg: int) -> bool:
-    """Whether the level kernel's scoped-VMEM working set fits Mosaic's
-    16 MB stack. The working set is ~7 region-sized f32 buffers per 128-lane
-    group (template block, search region, row blend, column blend, shift
-    accumulators) — measured: Rg=55 (win=21) allocates ~11 MB and runs;
-    Rg=84 (win=32) requests 25 MB and OOMs. Lane groups cannot shrink below
-    128 (Mosaic block rule), so configs beyond this bound use the XLA tap
-    tracker instead (steps.lk_module resolves 'auto' accordingly)."""
-    return 7 * Rg * Rg * NB * 4 <= 15 * 2**20
+    """Whether the per-level kernels' scoped-VMEM working sets fit Mosaic's
+    16 MB stack. After the round-4 split (template/iteration kernels) and
+    select-before-blend rewrite, the peak working set is ~region + the
+    padded selection buffer + live shift temporaries — measured: Rg=84
+    (win=32, the reference default) allocates ~12 MB and runs; the bound
+    below keeps ~20% headroom. Configs beyond it use the XLA tap tracker
+    instead (steps.lk_module resolves 'auto' accordingly)."""
+    return 3.4 * Rg * Rg * NB * 4 <= 15 * 2**20
 
 
 @functools.partial(jax.jit, static_argnames=("win", "iters", "interpret"))
 def _level_call(blk_t, region_t, scal, win: int, iters: int, interpret: bool):
+    """Two pallas_calls per level: template stats from the cached block,
+    then the iteration loop on the fresh search region. Returns (8, N) rows
+    [g_r', g_c', min_eig]."""
     Rg, _, N = blk_t.shape
     grid = N // NB
-    kernel = _make_level_kernel(Rg, win, iters)
-    return pl.pallas_call(
-        kernel,
+    w3 = jax.ShapeDtypeStruct((win, win, N), blk_t.dtype)
+    blkspec = pl.BlockSpec((Rg, Rg, NB), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    winspec = pl.BlockSpec((win, win, NB), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    rowspec = pl.BlockSpec((8, NB), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    T, Ix, Iy, st = pl.pallas_call(
+        _make_template_kernel(Rg, win),
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((Rg, Rg, NB), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Rg, Rg, NB), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((8, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        in_specs=[blkspec, rowspec],
+        out_specs=[winspec, winspec, winspec, rowspec],
+        out_shape=[w3, w3, w3, jax.ShapeDtypeStruct((8, N), blk_t.dtype)],
+        interpret=interpret,
+    )(blk_t, scal)
+
+    out = pl.pallas_call(
+        _make_iter_kernel(Rg, win, iters),
+        grid=(grid,),
+        in_specs=[blkspec, winspec, winspec, winspec, rowspec, rowspec],
+        out_specs=rowspec,
         out_shape=jax.ShapeDtypeStruct((8, N), blk_t.dtype),
         interpret=interpret,
-    )(blk_t, region_t, scal)
+    )(region_t, T, Ix, Iy, st, scal)
+    # Row layout [g_r', g_c', min_eig]: callers read rows 0-2.
+    return jnp.concatenate([out[:2], st[4:5], out[3:]], axis=0)
 
 
 def _auto_interpret() -> bool:

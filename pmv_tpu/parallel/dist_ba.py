@@ -127,8 +127,7 @@ def _window_lm_loop(tr, lm, obs_uv, obs_pose, obs_lm, obs_mask, pose_free, K,
         U, _, _, b_pose, _, _ = assemble_blocks(
             tr_, lm_, obs_uv, obs_pose, obs_lm, obs_mask, pose_free, K, delta
         )
-        U = jax.lax.psum(U, axis)
-        b_pose = jax.lax.psum(b_pose, axis)
+        U, b_pose = jax.lax.psum((U, b_pose), axis)
         U_d = U + lam * (U * eye6) + 1e-9 * eye6
         dp = jnp.linalg.solve(U_d, b_pose[..., None])[..., 0]
         tr_try = tr_ + dp * pose_free[:, None]

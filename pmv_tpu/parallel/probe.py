@@ -82,7 +82,7 @@ def weak_ba_args(n_shards: int, Ls: int = 512, P: int = 5, seed: int = 0):
     )
 
 
-def time_sharded_solve(n_shards: int, Ls: int, iters: int, repeats: int = 3) -> float:
+def time_sharded_solve(n_shards: int, Ls: int, iters: int, repeats: int = 5) -> float:
     """Best-of-N seconds for one ``iters``-iteration distributed BA solve on
     an ``n_shards``-device lm mesh (first n devices of the current backend)."""
     import time
@@ -153,6 +153,15 @@ def run_probe(n_devices: int, Ls: int = 8192, iters: int = 3) -> dict:
     if t_1 is not None:
         result["sec_1dev_pinned"] = t_1
         result["measured_efficiency"] = t_1 / t_c
+        # Second work point at 2x the per-shard landmarks — the global-
+        # refinement sharding regime (a full-sequence refine shards tens of
+        # thousands of landmarks). Efficiency must rise with per-shard work
+        # at constant communication; reporting both shows the trend, not a
+        # single lucky sample.
+        t_c2 = time_sharded_solve(c, 2 * Ls, iters)
+        t_12 = pinned_one_shard_seconds(2 * Ls, iters)
+        if t_12 is not None:
+            result["measured_efficiency_2x"] = t_12 / t_c2
     # Analytic ICI model: per-iteration per-shard compute from the pinned
     # measurement (or the mesh one), scaled to a v5e chip; comm latency-bound.
     per_iter_core = (t_1 if t_1 is not None else t_c) / iters

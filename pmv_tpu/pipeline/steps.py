@@ -32,11 +32,12 @@ def lk_module(impl: str, win: int | None = None, search: int | None = None):
 
     ``tap``: XLA tap-matrix tracker (lucas_kanade). ``pallas``: fused VPU
     kernel (pallas_lk). ``auto``: pallas on TPU backends — unless the
-    configured window/search region exceeds the kernel's scoped-VMEM budget
-    (pallas_lk.fits_vmem; e.g. the reference-parity win=32 region is 84x84,
-    beyond Mosaic's 16 MB stack at 128 lanes) — tap elsewhere. Pass
-    ``win``/``search`` wherever the config is at hand so 'auto' can apply
-    the VMEM feasibility check.
+    configured window/search region exceeds the kernels' scoped-VMEM budget
+    (pallas_lk.fits_vmem; since the round-4 template/iteration kernel split
+    this covers the reference-parity win=32 region of 84x84 with headroom —
+    the bound now trips only for exotic window/search combinations) — tap
+    elsewhere. Pass ``win``/``search`` wherever the config is at hand so
+    'auto' can apply the VMEM feasibility check.
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "tap"
