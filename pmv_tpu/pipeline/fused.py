@@ -26,6 +26,7 @@ from jax import lax
 from pmv_tpu.ba import schur_lm
 from pmv_tpu.core import geometry as geo
 from pmv_tpu.core.state import FeatureTable, MapState
+from pmv_tpu.frontend import corners
 from pmv_tpu.frontend.image import build_pyramid
 from pmv_tpu.pipeline import steps
 from pmv_tpu.pipeline.heuristics import motion_gate
@@ -60,11 +61,15 @@ class StepConfig(NamedTuple):
     ba_obs_gate_px: float = 0.0  # initial-residual observation gate (px)
     ba_cadence: int = 0  # frames between BA calls; 0 = reference cadence
     # (bundle_size//3*2, OdometryPipeline.cpp:407)
-    ba_lm_cap: int = 0  # max unique landmarks per BA window; 0 = 2x feature
-    # capacity. Slot-aligned tracking means a window's unique landmarks stay
-    # well under P*N (one slot = one landmark until reseed/rebind), so the
-    # dense Schur block tensors can shrink from P*N to this cap; overflow
-    # observations are masked out (graceful, never wrong-indexed)
+    ba_lm_cap: int = 0  # max unique landmarks per BA window; 0 = 4x feature
+    # capacity. The dense Schur block tensors shrink from P*N to this cap;
+    # overflow observations are masked out (graceful, never wrong-indexed).
+    # The cap must comfortably exceed a window's true unique count: a window
+    # containing a triangulation frame re-binds most slots to FRESH
+    # landmarks (~N old + ~N new unique), and a saturated cap silently
+    # drops a biased subset of observations — measured to drive a steady
+    # heading drift (seed-1 598-frame ATE 90 m at cap 2N vs 6.9 m at 4N,
+    # artifacts/diag). StepState.ba_overflow counts saturated BA calls.
     traj_cap: int = 1024  # device trajectory capacity (frames)
     lk_impl: str = "tap"  # LK tracker backend: tap | pallas | auto
     map_hist_rows: int = 0  # landmark-position snapshot rows (0 = off).
@@ -115,6 +120,9 @@ class StepState(NamedTuple):
     # (rows, M, 3), rows may be 0 = disabled). Read back only when the run
     # renders video (viz/render.py replay).
     map_hist: jax.Array = None
+    # Number of BA calls whose unique-landmark table saturated ba_lm_cap
+    # (observations were dropped — the run should warn; see ba_step).
+    ba_overflow: jax.Array = None
 
 
 def init_state(
@@ -151,6 +159,7 @@ def init_state(
         map_hist=jnp.zeros(
             (cfg.map_hist_rows, map_state.capacity, 3), jnp.float32
         ),
+        ba_overflow=jnp.zeros((), jnp.int32),
     )
 
 
@@ -179,45 +188,74 @@ def frame_step(
     )
     tracked = tracked_table.num_valid()
 
-    def do_reseed(op):
-        tbl, _ = op
-        tbl2 = steps.reseed_step(
-            tbl, next_pyr[0], cfg.n_per_tile,
+    # --- reseed. lax.cond boundaries on TPU cost ~proportionally to the
+    # buffers crossing them (measured: passing (table, blocks) through the
+    # reseed cond cost ~0.9 ms/frame even untaken, tpu_stage_bench.py), so
+    # only the SMALL candidate arrays cross the cond; the merge runs
+    # branchlessly outside (bit-exact no-op when not firing), and the block
+    # recapture is unconditional with a cheap dense select. ---
+    reseed_tol = cfg.reseed_tol if cfg.reseed_tol > 0 else cfg.tracked_tol
+    fire = tracked < reseed_tol
+
+    def extract_cands(_):
+        return corners.grid_extract(
+            next_pyr[0], cfg.n_per_tile,
             tile_h=cfg.tile_h, tile_w=cfg.tile_w,
             quality=cfg.quality, min_distance=cfg.min_distance,
             response=cfg.response,
         )
-        # Reseeded slots moved: the cached blocks no longer cover them, so
-        # recapture around the updated table (only on reseed frames).
-        lk = steps.lk_module(cfg.lk_impl, cfg.lk_window, cfg.lk_search)
 
-        blocks2 = lk.capture_blocks(
-            next_pyr, tbl2.xy, win=cfg.lk_window,
-            search=cfg.lk_search if cfg.lk_search > 0 else None,
+    def no_cands(_):
+        n_cand = steps.grid_cand_count(
+            next_pyr[0].shape, cfg.n_per_tile, cfg.tile_h, cfg.tile_w
         )
-        return tbl2, blocks2
+        return (
+            jnp.zeros((n_cand, 2), jnp.float32),
+            jnp.zeros((n_cand,), jnp.float32),
+            jnp.zeros((n_cand,), jnp.bool_),
+        )
 
-    reseed_tol = cfg.reseed_tol if cfg.reseed_tol > 0 else cfg.tracked_tol
-    next_table, new_blocks = lax.cond(
-        tracked < reseed_tol, do_reseed, lambda op: op,
-        (tracked_table, new_blocks),
+    cand_xy, cand_score, cand_valid = lax.cond(fire, extract_cands, no_cands, None)
+    next_table = steps.reseed_merge(
+        tracked_table, cand_xy, cand_score, cand_valid & fire,
+        min_distance=cfg.min_distance,
+    )
+    # Reseeded slots moved: the cached blocks no longer cover them. Capture
+    # around the merged table every frame and select per level — the dense
+    # select (~25 MB) costs ~0.1 ms of HBM traffic vs ~0.9 ms for blocks
+    # crossing a cond.
+    lk = steps.lk_module(cfg.lk_impl, cfg.lk_window, cfg.lk_search)
+    blocks_reseed = lk.capture_blocks(
+        next_pyr, next_table.xy, win=cfg.lk_window,
+        search=cfg.lk_search if cfg.lk_search > 0 else None,
+    )
+    new_blocks = jax.tree.map(
+        lambda a, b: jnp.where(fire, a, b), blocks_reseed, new_blocks
     )
 
+    # --- pose: PnP vs essential-matrix bootstrap. Only per-slot deltas
+    # cross the cond; the map/table updates are applied branchlessly
+    # outside (kill/insert are exact no-ops under a false mask). ---
     n3d = state.table.count_3d(state.map.alive)
+    is_pnp = n3d >= cfg.tracked_tol
     key_pose, _ = jax.random.split(key)
+    N = state.table.capacity
 
     def pnp_branch(op):
-        src, nxt, m = op
-        X_std, uv, mask, lm_slots = steps.pnp_inputs(src, nxt, m, state.R, state.t)
+        src, nxt = op
+        X_std, uv, mask, _ = steps.pnp_inputs(src, nxt, state.map, state.R, state.t)
         R_d, t_d, inliers = pnp.solve_pnp_ransac(
             X_std, uv, mask, K, key_pose, state.R_s, state.t_s,
             n_hypos=cfg.pnp_hypos, thresh_px=cfg.pnp_thresh,
         )
-        m = steps.kill_outlier_landmarks(m, lm_slots, mask, inliers)
-        return R_d, t_d, src, nxt, m, state.scale, jnp.sum(inliers)
+        return (
+            R_d, t_d, mask, inliers,
+            jnp.zeros((N, 3), jnp.float32), jnp.zeros((N,), jnp.bool_),
+            state.scale, jnp.sum(inliers),
+        )
 
     def tri_branch(op):
-        src, nxt, m = op
+        src, nxt = op
         corr = src.valid & nxt.valid
         if cfg.essential_solver == "five_point":
             from pmv_tpu.solvers.five_point import (
@@ -235,17 +273,22 @@ def frame_step(
                 n_hypos=cfg.e_hypos, thresh_px=cfg.e_thresh,
             )
         R_d, t_unit, X_tri, front = essential.recover_pose(E, src.xy, nxt.xy, inl, K)
-        t_d = t_unit * gt_step
-        src2, nxt2, m2 = steps.register_triangulated(
-            src, nxt, m, X_tri, inl & front, gt_step, state.R, state.t
+        zN = jnp.zeros((N,), jnp.bool_)
+        return (
+            R_d, t_unit * gt_step, zN, zN,
+            X_tri, inl & front, gt_step, jnp.sum(inl & front),
         )
-        return R_d, t_d, src2, nxt2, m2, gt_step, jnp.sum(inl & front)
 
-    R_d, t_d, src_table, next_table, new_map, scale, n_inl = lax.cond(
-        n3d >= cfg.tracked_tol,
-        pnp_branch,
-        tri_branch,
-        (state.table, next_table, state.map),
+    R_d, t_d, pnp_used, pnp_inl, X_tri, tri_good, scale, n_inl = lax.cond(
+        is_pnp, pnp_branch, tri_branch, (state.table, next_table)
+    )
+    # Branchless updates: exactly one of the two masks is non-empty.
+    new_map = steps.kill_outlier_landmarks(
+        state.map, state.table.landmark, pnp_used, pnp_inl
+    )
+    src_table, next_table, new_map = steps.register_triangulated(
+        state.table, next_table, new_map, X_tri, tri_good, scale,
+        state.R, state.t,
     )
 
     R_new, t_new, R_s_new, t_s_new, accepted = motion_gate(
@@ -270,6 +313,7 @@ def frame_step(
         tbl_valid_hist=state.tbl_valid_hist.at[state.k].set(src_table.valid).at[k_new].set(next_table.valid),
         tbl_lm_hist=state.tbl_lm_hist.at[state.k].set(src_table.landmark).at[k_new].set(next_table.landmark),
         map_hist=state.map_hist,
+        ba_overflow=state.ba_overflow,
     )
     stats = {
         "tracked": tracked,
@@ -350,13 +394,16 @@ def ba_step(state: StepState, K: jax.Array, cfg: StepConfig) -> StepState:
     # observations of landmarks beyond the cap are masked out instead of
     # mis-indexed.
     N_cap = xy.shape[1]
-    L_win = cfg.ba_lm_cap if cfg.ba_lm_cap > 0 else 2 * N_cap
+    L_win = cfg.ba_lm_cap if cfg.ba_lm_cap > 0 else 4 * N_cap
     big = jnp.int32(state.map.capacity)
     ids = jnp.where(obs_mask, obs_lm, big)
     uniq = jnp.unique(ids, size=L_win, fill_value=big)
     local = jnp.searchsorted(uniq, ids).astype(jnp.int32)
     local = jnp.minimum(local, L_win - 1)
     obs_mask = obs_mask & (uniq[local] == ids)
+    # Saturation observability: a full unique table means observations were
+    # dropped (biased window — see ba_lm_cap docstring); count it.
+    saturated = (uniq[L_win - 1] < big).astype(jnp.int32)
     uniq_safe = jnp.minimum(uniq, state.map.capacity - 1)
     lm_local = state.map.xyz[uniq_safe]
 
@@ -396,4 +443,5 @@ def ba_step(state: StepState, K: jax.Array, cfg: StepConfig) -> StepState:
         t_hist=t_hist,
         R=R_hist[state.k],
         t=t_hist[state.k],
+        ba_overflow=state.ba_overflow + saturated,
     )

@@ -669,6 +669,16 @@ class OdometryPipeline:
         txy, tvalid, tlm = jax.device_get(
             (state.tbl_xy_hist, state.tbl_valid_hist, state.tbl_lm_hist)
         )
+        n_overflow = int(np.asarray(state.ba_overflow))
+        if n_overflow:
+            # Saturated windows silently drop observations — a biased BA
+            # that measurably drifts the heading (PERFORMANCE.md round 4).
+            print(
+                f"pmv_tpu: {n_overflow} BA windows saturated ba_lm_cap — "
+                "raise ba_lm_cap (observations were dropped; heading drift "
+                "risk)",
+                flush=True,
+            )
         # The landmark-position snapshot history is large (~64 MB) and only
         # the video replay needs it — read it back only when one will be
         # rendered (the tunnel sustains ~25 MB/s on readback).

@@ -114,39 +114,25 @@ def track_step_cached(
     return table, new_blocks
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_per_tile", "tile_h", "tile_w", "quality", "min_distance", "response"),
-)
-def reseed_step(
-    table: FeatureTable,
-    img: jax.Array,
-    n_per_tile: int,
-    tile_h: int = 255,
-    tile_w: int = 255,
-    quality: float = 0.01,
-    min_distance: int = 5,
-    response: str = "min_eig",
-) -> FeatureTable:
-    """Top up the feature table from fresh grid-tiled corners.
+def grid_cand_count(shape, n_per_tile: int, tile_h: int, tile_w: int) -> int:
+    """Static candidate capacity of corners.grid_extract for ``shape`` —
+    lets a cond's false branch build matching zero arrays."""
+    H, W = shape
+    return (-(-H // tile_h)) * (-(-W // tile_w)) * n_per_tile
 
-    Mirrors the reseed path at OdometryPipeline.cpp:342-371: extract
-    ``n_per_tile`` corners per tile, drop candidates with an existing
-    neighbor closer than Chebyshev ``min_distance`` (Frame::hasNeighbor),
-    and append the rest — here: fill empty slots in slot order, best score
-    first. (Deviation: corners are extracted from the *new* frame's image;
-    the reference samples the previous frame's image and pastes the
-    coordinates into the new frame, OdometryPipeline.cpp:351-365.)
-    """
-    cand_xy, cand_score, cand_valid = corners.grid_extract(
-        img,
-        n_per_tile,
-        tile_h=tile_h,
-        tile_w=tile_w,
-        quality=quality,
-        min_distance=min_distance,
-        response=response,
-    )
+
+def reseed_merge(
+    table: FeatureTable,
+    cand_xy: jax.Array,
+    cand_score: jax.Array,
+    cand_valid: jax.Array,
+    min_distance: int = 5,
+) -> FeatureTable:
+    """Merge candidate corners into the table's free slots (the cheap half
+    of :func:`reseed_step`; branchless — with ``cand_valid`` all-false the
+    returned table is bit-identical to the input, so the fused step can run
+    the merge unconditionally and keep the expensive extraction inside a
+    small-output ``lax.cond``)."""
     neigh = has_neighbor(cand_xy, table.xy, table.valid, dist=min_distance)
     ok = cand_valid & ~neigh
     # Order candidates by score (strongest first).
@@ -172,6 +158,45 @@ def reseed_step(
     landmark = jnp.concatenate([table.landmark, jnp.zeros((1,), jnp.int32)])
     landmark = landmark.at[target].set(-1)[:N]
     return FeatureTable(xy=xy, valid=valid, landmark=landmark, score=score)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_per_tile", "tile_h", "tile_w", "quality", "min_distance", "response"),
+)
+def reseed_step(
+    table: FeatureTable,
+    img: jax.Array,
+    n_per_tile: int,
+    tile_h: int = 255,
+    tile_w: int = 255,
+    quality: float = 0.01,
+    min_distance: int = 5,
+    response: str = "min_eig",
+) -> FeatureTable:
+    """Top up the feature table from fresh grid-tiled corners.
+
+    Mirrors the reseed path at OdometryPipeline.cpp:342-371: extract
+    ``n_per_tile`` corners per tile, drop candidates with an existing
+    neighbor closer than Chebyshev ``min_distance`` (Frame::hasNeighbor),
+    and append the rest — here: fill empty slots in slot order, best score
+    first. (Deviation: corners are extracted from the *new* frame's image;
+    the reference samples the previous frame's image and pastes the
+    coordinates into the new frame, OdometryPipeline.cpp:351-365.)
+
+    Composition of the expensive extraction (corners.grid_extract) and the
+    cheap :func:`reseed_merge`.
+    """
+    cand_xy, cand_score, cand_valid = corners.grid_extract(
+        img,
+        n_per_tile,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        quality=quality,
+        min_distance=min_distance,
+        response=response,
+    )
+    return reseed_merge(table, cand_xy, cand_score, cand_valid, min_distance)
 
 
 @jax.jit

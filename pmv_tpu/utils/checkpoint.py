@@ -65,6 +65,7 @@ def save_fused_state(state, path: str | Path, **meta) -> None:
         "R", "t", "R_s", "t_s", "scale", "k",
         "R_hist", "t_hist",
         "tbl_xy_hist", "tbl_valid_hist", "tbl_lm_hist", "map_hist",
+        "ba_overflow",
     ):
         data[name] = np.asarray(getattr(state, name))
     for key, val in meta.items():
@@ -114,6 +115,7 @@ def load_fused_state(path: str | Path):
         tbl_valid_hist=jnp.asarray(z["tbl_valid_hist"]),
         tbl_lm_hist=jnp.asarray(z["tbl_lm_hist"]),
         map_hist=jnp.asarray(z["map_hist"]),
+        ba_overflow=jnp.asarray(z["ba_overflow"]),
     )
     meta = {
         key[len("meta_"):]: z[key] for key in z.files if key.startswith("meta_")
