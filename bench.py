@@ -116,21 +116,23 @@ def _measure_upload_mb_s() -> float:
     The tunneled chip's uplink varies session to session (measured 31-80
     MB/s across rounds) and caps e2e fps at ~bw/453KB regardless of compute
     — reporting it makes cross-round fps numbers interpretable."""
-    x = np.random.default_rng(0).integers(
-        0, 255, (8,) + SHAPE, dtype=np.uint8
-    )
+    rng = np.random.default_rng(0)
+    xs = [
+        rng.integers(0, 255, (8,) + SHAPE, dtype=np.uint8) for _ in range(6)
+    ]
     best = np.inf
-    a = jax.device_put(x)
+    a = jax.device_put(xs[0])
     np.asarray(a[0, 0, :4])  # warm the path
     for _ in range(3):
-        # 4 overlapping puts: a single synced put measures round-trip
-        # latency (~3x low through the tunnel), not stream bandwidth.
+        # Several DISTINCT buffers in flight: a single synced put measures
+        # round-trip latency, and re-putting one array can dedupe — both
+        # underestimate the stream bandwidth the pipelined run achieves.
         t0 = time.perf_counter()
-        devs = [jax.device_put(x) for _ in range(4)]
+        devs = [jax.device_put(x) for x in xs]
         for d in devs:
             np.asarray(d[0, 0, :4])
         best = min(best, time.perf_counter() - t0)
-    return 4 * x.nbytes / best / 1e6
+    return len(xs) * xs[0].nbytes / best / 1e6
 
 
 def main() -> None:

@@ -18,18 +18,32 @@ import jax.numpy as jnp
 from jax import lax
 
 from pmv_tpu.core.state import FeatureTable
-from pmv_tpu.frontend.lucas_kanade import bilinear_sample
+from pmv_tpu.frontend.lucas_kanade import _frac_shift, _slice_blocks
 
 
 def _patches(img: jax.Array, xy: jax.Array, window: int) -> jax.Array:
     """(N, 2) centers -> (N, window, window) patches (border-replicated;
-    the reference instead skips out-of-bounds pixels in the SSD sum)."""
+    the reference instead skips out-of-bounds pixels in the SSD sum).
+
+    Block dynamic-slices + the four-tap fractional blend — no pointwise
+    gathers (the original bilinear_sample formulation issued one gather per
+    pixel; at the high-density config that is ~4M scattered reads/frame,
+    catastrophic on TPU). Values match the pointwise sampler exactly: both
+    compute the same four-tap blend of the same edge-clamped pixels.
+    """
     half = window // 2
-    off = jnp.arange(window, dtype=xy.dtype) - half
-    yy = xy[:, 1, None, None] + off[None, :, None]
-    xx = xy[:, 0, None, None] + off[None, None, :]
-    return bilinear_sample(img, jnp.broadcast_to(yy, (xy.shape[0], window, window)),
-                           jnp.broadcast_to(xx, (xy.shape[0], window, window)))
+    PAD = half + 2
+    img_p = jnp.pad(img, PAD, mode="edge")
+    H, W = img_p.shape
+    x = xy[:, 0] + PAD
+    y = xy[:, 1] + PAD
+    # Clamp like bilinear_sample: sample coords clip to the unpadded frame.
+    x = jnp.clip(x, PAD, W - PAD - 1.000001)
+    y = jnp.clip(y, PAD, H - PAD - 1.000001)
+    r0 = jnp.floor(y).astype(jnp.int32) - half
+    c0 = jnp.floor(x).astype(jnp.int32) - half
+    base = _slice_blocks(img_p, r0, c0, window + 1)  # (N, w+1, w+1)
+    return _frac_shift(base, y - jnp.floor(y), x - jnp.floor(x))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "window", "threshold"))

@@ -42,6 +42,24 @@ from pmv_tpu.frontend import lucas_kanade as lk
 NB = 128  # features per grid program (one lane group)
 
 
+def pad_rows_for_select(buf, w: int, K: int):
+    """Zero-pad dim0 of ``buf`` to the extent :func:`_select_shift` needs
+    for window ``w`` over ``K`` offsets. Hoist this OUTSIDE iteration loops:
+    the pad would otherwise be re-materialized every iteration while the
+    unpadded source also stays live across the loop — ~4 MB of avoidable
+    scoped VMEM at the win=32 region size (measured: the fused-loop kernel
+    OOM'd at 17.65 MB vs the 16 MB Mosaic stack without the hoist)."""
+    if K <= 1:
+        return buf
+    nbits = (K - 1).bit_length()
+    full = w + (1 << nbits) - 1
+    cur = buf.shape[0]
+    if full > cur:
+        pad_shape = (full - cur,) + buf.shape[1:]
+        buf = jnp.concatenate([buf, jnp.zeros(pad_shape, buf.dtype)], axis=0)
+    return buf
+
+
 def _select_shift(buf, k0i, w: int, K: int, axis: int):
     """Per-lane ``buf[k : k+w]`` along ``axis`` (k = k0i, (1, 1, NB) int32 in
     [0, K-1]) by binary-shift decomposition: ceil(log2(K)) masked static
@@ -63,7 +81,8 @@ def _select_shift(buf, k0i, w: int, K: int, axis: int):
     if full > cur:
         # Zero-pad so every static slice below stays in bounds (the padded
         # rows are only reachable for k > K-1, which the caller's clip
-        # excludes — they are never selected into the final window).
+        # excludes — they are never selected into the final window). Loop
+        # callers should pre-pad dim0 with :func:`pad_rows_for_select`.
         pad_shape = list(buf.shape)
         pad_shape[axis] = full - cur
         buf = jnp.concatenate(
@@ -80,9 +99,11 @@ def _select_shift(buf, k0i, w: int, K: int, axis: int):
     return buf  # after bit 0, extent == w
 
 
-def _masked_window(region, lr, lc, w: int):
+def _masked_window(region, lr, lc, w: int, rows: int | None = None):
     """Bilinear (w, w, NB) windows from a (Rg, Rg, NB) region at per-lane
     float offsets lr, lc (each (1, 1, NB), pre-clipped to [0, Rg-w-1]).
+    ``rows`` is the LOGICAL row extent when ``region`` was pre-padded with
+    :func:`pad_rows_for_select` (defaults to the physical extent).
 
     Binary-shift window selection FIRST (w+1 rows/cols of the raw region),
     then the separable two-tap blend on the selected strip. Selecting before
@@ -95,17 +116,19 @@ def _masked_window(region, lr, lc, w: int):
     dim0 (free on TPU); the column selection slices the sublane dim (cheap
     register rotations).
     """
-    Rg = region.shape[0]
-    K = Rg - w  # possible integer offsets: floor(lr) in [0, Rg-w-1]
+    Rg_r = rows if rows is not None else region.shape[0]
+    Rg_c = region.shape[1]
+    K_r = Rg_r - w  # possible integer offsets: floor(lr) in [0, Rg-w-1]
+    K_c = Rg_c - w
 
     i0 = jnp.floor(lr)
     fr = lr - i0
-    raw = _select_shift(region, i0.astype(jnp.int32), w + 1, K, axis=0)
-    rows = (1.0 - fr) * raw[:-1] + fr * raw[1:]  # (w, Rg, NB)
+    raw = _select_shift(region, i0.astype(jnp.int32), w + 1, K_r, axis=0)
+    strip = (1.0 - fr) * raw[:-1] + fr * raw[1:]  # (w, Rg, NB)
 
     j0 = jnp.floor(lc)
     fc = lc - j0
-    rawc = _select_shift(rows, j0.astype(jnp.int32), w + 1, K, axis=1)
+    rawc = _select_shift(strip, j0.astype(jnp.int32), w + 1, K_c, axis=1)
     return (1.0 - fc) * rawc[:, :-1] + fc * rawc[:, 1:]  # (w, w, NB)
 
 
@@ -190,7 +213,9 @@ def _make_iter_kernel(Rg: int, win: int, iters: int):
     i_lim = Rg - win - 1.000001
 
     def kernel(region_ref, T_ref, Ix_ref, Iy_ref, st_ref, scal_ref, out_ref):
-        region = region_ref[:]
+        # Pre-pad the selection rows ONCE (outside the iteration loop): the
+        # pad keeps only one region-sized buffer live across the loop.
+        region = pad_rows_for_select(region_ref[:], win + 1, Rg - win)
         T = T_ref[:]
         Ix = Ix_ref[:]
         Iy = Iy_ref[:]
@@ -213,6 +238,7 @@ def _make_iter_kernel(Rg: int, win: int, iters: int):
                 jnp.clip(g_r - half - reg_r0, 0.0, i_lim),
                 jnp.clip(g_c - half - reg_c0, 0.0, i_lim),
                 win,
+                rows=Rg,
             )
             r = T - I
             bx = jnp.sum(r * Ix, axis=(0, 1), keepdims=True)

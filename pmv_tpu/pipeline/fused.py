@@ -56,6 +56,16 @@ class StepConfig(NamedTuple):
     pnp_thresh: float = 8.0
     response: str = "min_eig"  # corner response (extractor preset)
     essential_solver: str = "five_point"  # five_point | eight_point
+    matcher: str = "lk"  # lk | knn. knn = the reference's alternate
+    # patch-SSD matcher (kNNFeatureMatcher.cpp): fresh corners every frame
+    # + k-nearest SSD association — the high-density fallback path
+    # (BASELINE.json config #3). In knn mode StepState.blocks carries the
+    # previous level-0 image instead of LK region blocks.
+    knn_k: int = 7  # spatial nearest neighbors (kNNFeatureMatcher.h:28)
+    knn_window: int = 15  # SSD patch side (kNNFeatureMatcher.h:10)
+    knn_threshold: float = 2.0  # SSD accept threshold (kNNFeatureMatcher.h:11)
+    knn_cand_per_tile: int = 101  # fresh corners per tile (~1000/frame,
+    # kNNFeatureMatcher.cpp:3-10)
     bundle_size: int = 5
     ba_iters: int = 5
     ba_obs_gate_px: float = 0.0  # initial-residual observation gate (px)
@@ -135,12 +145,16 @@ def init_state(
     N = table.capacity
     eye = jnp.eye(3, dtype=jnp.float32)
     T = cfg.traj_cap
-    lk = steps.lk_module(cfg.lk_impl, cfg.lk_window, cfg.lk_search)
+    if cfg.matcher == "knn":
+        # kNN matching needs only the previous level-0 image.
+        blocks = ((pyr[0],),)
+    else:
+        lk = steps.lk_module(cfg.lk_impl, cfg.lk_window, cfg.lk_search)
 
-    blocks = lk.capture_blocks(
-        tuple(pyr), table.xy, win=cfg.lk_window,
-        search=cfg.lk_search if cfg.lk_search > 0 else None,
-    )
+        blocks = lk.capture_blocks(
+            tuple(pyr), table.xy, win=cfg.lk_window,
+            search=cfg.lk_search if cfg.lk_search > 0 else None,
+        )
     return StepState(
         blocks=blocks,
         table=table,
@@ -181,11 +195,30 @@ def frame_step(
     """
     next_pyr = tuple(build_pyramid(next_img, cfg.lk_levels))
 
-    tracked_table, new_blocks = steps.track_step_cached(
-        state.blocks, list(next_pyr), state.table,
-        win=cfg.lk_window, iters=cfg.lk_iters, search=cfg.lk_search,
-        impl=cfg.lk_impl,
-    )
+    if cfg.matcher == "knn":
+        # Alternate matcher (kNNFeatureMatcher.cpp): fresh corners every
+        # frame + k-nearest patch-SSD association; the previous level-0
+        # image rides in blocks[0][0].
+        from pmv_tpu.frontend import knn_matcher
+
+        prev_img = state.blocks[0][0]
+        kc_xy, _, kc_valid = corners.grid_extract(
+            next_pyr[0], cfg.knn_cand_per_tile,
+            tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+            quality=cfg.quality, min_distance=cfg.min_distance,
+            response=cfg.response,
+        )
+        tracked_table = knn_matcher.knn_match(
+            prev_img, next_pyr[0], state.table, kc_xy, kc_valid,
+            k=cfg.knn_k, window=cfg.knn_window, threshold=cfg.knn_threshold,
+        )
+        new_blocks = ((next_pyr[0],),)
+    else:
+        tracked_table, new_blocks = steps.track_step_cached(
+            state.blocks, list(next_pyr), state.table,
+            win=cfg.lk_window, iters=cfg.lk_iters, search=cfg.lk_search,
+            impl=cfg.lk_impl,
+        )
     tracked = tracked_table.num_valid()
 
     # --- reseed. lax.cond boundaries on TPU cost ~proportionally to the
@@ -220,18 +253,24 @@ def frame_step(
         tracked_table, cand_xy, cand_score, cand_valid & fire,
         min_distance=cfg.min_distance,
     )
-    # Reseeded slots moved: the cached blocks no longer cover them. Capture
-    # around the merged table every frame and select per level — the dense
-    # select (~25 MB) costs ~0.1 ms of HBM traffic vs ~0.9 ms for blocks
-    # crossing a cond.
-    lk = steps.lk_module(cfg.lk_impl, cfg.lk_window, cfg.lk_search)
-    blocks_reseed = lk.capture_blocks(
-        next_pyr, next_table.xy, win=cfg.lk_window,
-        search=cfg.lk_search if cfg.lk_search > 0 else None,
-    )
-    new_blocks = jax.tree.map(
-        lambda a, b: jnp.where(fire, a, b), blocks_reseed, new_blocks
-    )
+    if cfg.matcher != "knn":
+        # Reseeded slots moved: the cached blocks no longer cover them —
+        # recapture around the merged table on reseed frames. Blocks are the
+        # ONLY thing crossing this cond: a dense where-select was measured
+        # strictly worse (~0.9 ms/frame of HBM traffic for the ~25 MB block
+        # pytree, tpu_stage_bench "manual + reseed select") than the cond's
+        # buffer handling (~0.3 ms). (knn carries the raw image; nothing to
+        # recapture.)
+        lk = steps.lk_module(cfg.lk_impl, cfg.lk_window, cfg.lk_search)
+        new_blocks = lax.cond(
+            fire,
+            lambda _: lk.capture_blocks(
+                next_pyr, next_table.xy, win=cfg.lk_window,
+                search=cfg.lk_search if cfg.lk_search > 0 else None,
+            ),
+            lambda _: new_blocks,
+            None,
+        )
 
     # --- pose: PnP vs essential-matrix bootstrap. Only per-slot deltas
     # cross the cond; the map/table updates are applied branchlessly
@@ -409,18 +448,37 @@ def ba_step(state: StepState, K: jax.Array, cfg: StepConfig) -> StepState:
 
     # Grid solver: the window is pose-major slot-aligned, so observations
     # reshape to a dense (P, N) grid and assembly becomes one-hot matmuls
-    # instead of scatter-adds (schur_lm.assemble_blocks_grid).
-    tr_out, lm_local_out, _ = schur_lm.ba_solve_grid(
-        tr,
-        lm_local,
-        obs_uv.reshape(P, N_cap, 2),
-        local.reshape(P, N_cap),
-        obs_mask.reshape(P, N_cap),
-        pose_free,
-        K,
-        iters=cfg.ba_iters,
-        obs_gate_px=cfg.ba_obs_gate_px,
-    )
+    # instead of scatter-adds (schur_lm.assemble_blocks_grid). The one-hot
+    # is (P, N, L_win) — at the high-density config (N=2048, L_win=4N) it
+    # would be hundreds of MB, so large problems use the flat scatter-add
+    # assembly instead (static choice; the scatter cost is amortized by the
+    # much larger per-observation work at those sizes).
+    if P * N_cap * L_win <= 32 * 2**20:
+        tr_out, lm_local_out, _ = schur_lm.ba_solve_grid(
+            tr,
+            lm_local,
+            obs_uv.reshape(P, N_cap, 2),
+            local.reshape(P, N_cap),
+            obs_mask.reshape(P, N_cap),
+            pose_free,
+            K,
+            iters=cfg.ba_iters,
+            obs_gate_px=cfg.ba_obs_gate_px,
+        )
+    else:
+        prob = schur_lm.BAProblem(
+            tr=tr,
+            lm=lm_local,
+            obs_uv=obs_uv,
+            obs_pose=obs_pose,
+            obs_lm=local,
+            obs_mask=obs_mask,
+            pose_free=pose_free,
+            K=K,
+        )
+        tr_out, lm_local_out, _ = schur_lm.ba_solve(
+            prob, iters=cfg.ba_iters, obs_gate_px=cfg.ba_obs_gate_px
+        )
     R_new, t_new = geo.ba_params_to_pose(tr_out)
     # Scatter optimized landmarks back to the global map (pad-row trick for
     # the fill slots).

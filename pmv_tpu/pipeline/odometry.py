@@ -460,6 +460,8 @@ class OdometryPipeline:
             pnp_hypos=cfg.ransac_pnp_hypos,
             pnp_thresh=cfg.ransac_pnp_thresh,
             lk_impl=cfg.lk_impl,
+            matcher=cfg.matcher,
+            knn_cand_per_tile=1000 // n_tiles + 1,
             reseed_tol=cfg.reseed_tol,
             bundle_size=max(cfg.bundle_size, 1),
             ba_iters=cfg.max_iterations,
@@ -479,16 +481,15 @@ class OdometryPipeline:
         from pmv_tpu.pipeline import fused
 
         cfg = self.cfg
-        if cfg.matcher != "lk":
-            # Alternate matchers (kNN patch matching) run through the
-            # modular per-stage loop; the fused step is LK-only. Say so
-            # loudly (not just under verbose): the modular loop dispatches
-            # once per stage and runs ~5-10x slower than the fused path
-            # (measured: PERFORMANCE.md "High-density FAST+kNN").
+        if cfg.matcher not in ("lk", "knn"):
+            # Unknown matchers run through the modular per-stage loop. Say
+            # so loudly (not just under verbose): the modular loop
+            # dispatches once per stage and runs ~5-10x slower than the
+            # fused path (measured: PERFORMANCE.md "High-density FAST+kNN").
             print(
                 f"pmv_tpu: matcher={cfg.matcher!r} is not fused — falling back "
                 "to the modular per-stage loop (expect ~5-10x lower fps than "
-                "matcher='lk'; see PERFORMANCE.md)",
+                "the fused matchers; see PERFORMANCE.md)",
                 flush=True,
             )
             return self.run_modular()

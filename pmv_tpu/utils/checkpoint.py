@@ -53,10 +53,12 @@ def save_fused_state(state, path: str | Path, **meta) -> None:
     history (which doubles as the BA window) — so ``chunk_step`` can resume
     mid-sequence bit-identically."""
     data: dict = {"fused_version": FORMAT_VERSION, "n_levels": len(state.blocks)}
-    for lvl, (reg, r0, c0) in enumerate(state.blocks):
-        data[f"blk{lvl}_region"] = np.asarray(reg)
-        data[f"blk{lvl}_r0"] = np.asarray(r0)
-        data[f"blk{lvl}_c0"] = np.asarray(c0)
+    # Blocks are per-level tuples: (region, r0, c0) for the LK matchers, a
+    # 1-tuple (prev level-0 image) for knn — save generically.
+    for lvl, parts in enumerate(state.blocks):
+        data[f"blk{lvl}_n"] = len(parts)
+        for j, p in enumerate(parts):
+            data[f"blk{lvl}_p{j}"] = np.asarray(p)
     for name in ("xy", "valid", "landmark", "score"):
         data[f"tbl_{name}"] = np.asarray(getattr(state.table, name))
     for name in ("xyz", "alive", "head"):
@@ -83,10 +85,8 @@ def load_fused_state(path: str | Path):
             f"fused checkpoint version {z['fused_version']} != {FORMAT_VERSION}"
         )
     blocks = tuple(
-        (
-            jnp.asarray(z[f"blk{lvl}_region"]),
-            jnp.asarray(z[f"blk{lvl}_r0"]),
-            jnp.asarray(z[f"blk{lvl}_c0"]),
+        tuple(
+            jnp.asarray(z[f"blk{lvl}_p{j}"]) for j in range(int(z[f"blk{lvl}_n"]))
         )
         for lvl in range(int(z["n_levels"]))
     )

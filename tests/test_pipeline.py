@@ -212,3 +212,89 @@ class TestMapHistoryAndLive:
         pipe = OdometryPipeline(cfg)
         pipe.run()
         assert pipe.map_hist is None  # disabled: no readback, replay falls back
+
+
+class TestFusedKnnHighDensity:
+    """BASELINE.json config #3: high-density FAST+kNN through the FUSED
+    loop (kNNFeatureMatcher.cpp:3-61, OpenCVFASTFeatureExtractor.cpp:4-22)."""
+
+    def test_fused_knn_tracks(self, dataset):
+        seq, paths = dataset
+        cfg = make_cfg(paths, matcher="knn", extractor="fast")
+        pipe = OdometryPipeline(cfg)
+        result = pipe.run()
+        assert result["frames"] >= 25
+        t_est = np.stack(pipe.t)
+        gt = pipe.gt_t.copy()
+        gt[:, 2] *= -1
+        errs = [
+            np.linalg.norm(t_est[i] - gt[i + pipe.init_offset])
+            for i in range(1, len(t_est))
+        ]
+        # Integer-corner kNN association is much coarser than subpixel LK;
+        # the path must still produce a usable trajectory on the 27 m run.
+        assert float(np.mean(errs)) < 8.0, f"mean err {np.mean(errs)}"
+
+    def test_fused_knn_matches_modular_matcher(self, dataset):
+        """The fused step's knn association must equal the modular
+        knn_match call on the same pair."""
+        import jax
+        import jax.numpy as jnp
+
+        from pmv_tpu.frontend import knn_matcher
+        from pmv_tpu.frontend.corners import grid_extract
+        from pmv_tpu.frontend.image import build_pyramid
+        from pmv_tpu.pipeline import fused
+
+        seq, paths = dataset
+        cfg = make_cfg(paths, matcher="knn", extractor="fast")
+        pipe = OdometryPipeline(cfg)
+        init = [jnp.asarray(seq["images"][i]) for i in range(cfg.init_frames)]
+        pipe.initialise([np.asarray(im) for im in init])
+        img0 = init[pipe.init_offset]
+        step_cfg = pipe._step_config(np.asarray(img0).shape)
+        state = fused.init_state(
+            pyr=tuple(build_pyramid(img0, step_cfg.lk_levels)),
+            table=pipe.tables[0], map_state=pipe.map, cfg=step_cfg,
+        )
+        nxt_img = jnp.asarray(seq["images"][pipe.init_offset + 1], jnp.float32)
+        key = jax.random.PRNGKey(0)
+        s2, _, stats = fused.frame_step(
+            state, nxt_img, jnp.float32(1.0), key, pipe.K, step_cfg
+        )
+        # Modular twin
+        pyr_n = build_pyramid(nxt_img, step_cfg.lk_levels)
+        kc_xy, _, kc_valid = grid_extract(
+            pyr_n[0], step_cfg.knn_cand_per_tile,
+            tile_h=step_cfg.tile_h, tile_w=step_cfg.tile_w,
+            quality=step_cfg.quality, min_distance=step_cfg.min_distance,
+            response=step_cfg.response,
+        )
+        ref = knn_matcher.knn_match(
+            img0.astype(jnp.float32), pyr_n[0], pipe.tables[0], kc_xy, kc_valid,
+            k=step_cfg.knn_k, window=step_cfg.knn_window,
+            threshold=step_cfg.knn_threshold,
+        )
+        # Tracked positions agree for slots the fused step kept (it may
+        # additionally reseed/bind landmarks afterwards).
+        keep = np.asarray(ref.valid)
+        np.testing.assert_array_equal(
+            np.asarray(s2.table.xy)[keep], np.asarray(ref.xy)[keep]
+        )
+        assert int(stats["tracked"]) == int(ref.num_valid())
+
+    def test_high_density_capacity_2048(self, dataset):
+        """N=2048 feature slots + flat BA assembly path (the one-hot grid
+        would be P*N*L_win > 32M elements) — pins BASELINE config #3's
+        shapes end-to-end."""
+        seq, paths = dataset
+        cfg = make_cfg(
+            paths, matcher="knn", extractor="fast",
+            feature_capacity=2048, frames=14,
+            min_tracked_features=1200, tracked_features_tol=100,
+            reseed_tol=400,
+        )
+        pipe = OdometryPipeline(cfg)
+        result = pipe.run()
+        assert result["frames"] >= 10
+        assert np.isfinite(np.stack(pipe.t)).all()
