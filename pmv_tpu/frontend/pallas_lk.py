@@ -262,15 +262,29 @@ def _make_iter_kernel(Rg: int, win: int, iters: int):
     return kernel
 
 
+def lane_group(Rg: int) -> int:
+    """Features-per-program lane-group size whose scoped-VMEM working set
+    fits Mosaic's 16 MB stack, or 0 if none does.
+
+    Measured peak (win=32, Rg=84, 128 lanes): 17.65 MB — ~4.9 region-sized
+    f32 buffers per lane group (region/template block, the padded selection
+    buffer, and live binary-shift temporaries; Mosaic double-buffers loop
+    temps, so hoisting alone did not shrink it). Halving the lane group
+    halves every buffer at ~2x lane underutilization — still far faster
+    than the XLA tap fallback — so large regions (the reference-default
+    win=32) run at 64 lanes, production win=21 (Rg=55, ~7.6 MB) at the
+    full 128."""
+    for nb in (128, 64, 32):
+        if 4.9 * Rg * Rg * nb * 4 <= 15.5 * 2**20:
+            return nb
+    return 0
+
+
 def fits_vmem(Rg: int) -> bool:
-    """Whether the per-level kernels' scoped-VMEM working sets fit Mosaic's
-    16 MB stack. After the round-4 split (template/iteration kernels) and
-    select-before-blend rewrite, the peak working set is ~region + the
-    padded selection buffer + live shift temporaries — measured: Rg=84
-    (win=32, the reference default) allocates ~12 MB and runs; the bound
-    below keeps ~20% headroom. Configs beyond it use the XLA tap tracker
-    instead (steps.lk_module resolves 'auto' accordingly)."""
-    return 3.4 * Rg * Rg * NB * 4 <= 15 * 2**20
+    """Whether some lane-group size fits the kernels in scoped VMEM (see
+    :func:`lane_group`); configs beyond it use the XLA tap tracker
+    (steps.lk_module resolves 'auto' accordingly)."""
+    return lane_group(Rg) > 0
 
 
 @functools.partial(jax.jit, static_argnames=("win", "iters", "interpret"))
@@ -279,11 +293,12 @@ def _level_call(blk_t, region_t, scal, win: int, iters: int, interpret: bool):
     then the iteration loop on the fresh search region. Returns (8, N) rows
     [g_r', g_c', min_eig]."""
     Rg, _, N = blk_t.shape
-    grid = N // NB
+    nb = lane_group(Rg) or NB
+    grid = N // nb
     w3 = jax.ShapeDtypeStruct((win, win, N), blk_t.dtype)
-    blkspec = pl.BlockSpec((Rg, Rg, NB), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
-    winspec = pl.BlockSpec((win, win, NB), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
-    rowspec = pl.BlockSpec((8, NB), lambda i: (0, i), memory_space=pltpu.VMEM)
+    blkspec = pl.BlockSpec((Rg, Rg, nb), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    winspec = pl.BlockSpec((win, win, nb), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    rowspec = pl.BlockSpec((8, nb), lambda i: (0, i), memory_space=pltpu.VMEM)
 
     T, Ix, Iy, st = pl.pallas_call(
         _make_template_kernel(Rg, win),

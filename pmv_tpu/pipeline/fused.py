@@ -221,56 +221,41 @@ def frame_step(
         )
     tracked = tracked_table.num_valid()
 
-    # --- reseed. lax.cond boundaries on TPU cost ~proportionally to the
-    # buffers crossing them (measured: passing (table, blocks) through the
-    # reseed cond cost ~0.9 ms/frame even untaken, tpu_stage_bench.py), so
-    # only the SMALL candidate arrays cross the cond; the merge runs
-    # branchlessly outside (bit-exact no-op when not firing), and the block
-    # recapture is unconditional with a cheap dense select. ---
+    # --- reseed: one cond with the extraction, merge AND block recapture
+    # inside, (table, blocks) as its carried operands. Two alternatives
+    # were measured slower on chip (tpu_stage_bench, round 4): running the
+    # merge branchlessly every frame pays ~1 ms of TPU sort work (the
+    # merge's top_k + argsort) on every non-reseed frame, and swapping
+    # blocks by dense where-select pays ~0.9 ms of HBM traffic for the
+    # ~25 MB block pytree. The cond's own cost is ~0.3 ms/frame. ---
     reseed_tol = cfg.reseed_tol if cfg.reseed_tol > 0 else cfg.tracked_tol
     fire = tracked < reseed_tol
 
-    def extract_cands(_):
-        return corners.grid_extract(
+    def do_reseed(op):
+        tbl, _ = op
+        cand_xy, cand_score, cand_valid = corners.grid_extract(
             next_pyr[0], cfg.n_per_tile,
             tile_h=cfg.tile_h, tile_w=cfg.tile_w,
             quality=cfg.quality, min_distance=cfg.min_distance,
             response=cfg.response,
         )
-
-    def no_cands(_):
-        n_cand = steps.grid_cand_count(
-            next_pyr[0].shape, cfg.n_per_tile, cfg.tile_h, cfg.tile_w
+        tbl2 = steps.reseed_merge(
+            tbl, cand_xy, cand_score, cand_valid,
+            min_distance=cfg.min_distance,
         )
-        return (
-            jnp.zeros((n_cand, 2), jnp.float32),
-            jnp.zeros((n_cand,), jnp.float32),
-            jnp.zeros((n_cand,), jnp.bool_),
-        )
-
-    cand_xy, cand_score, cand_valid = lax.cond(fire, extract_cands, no_cands, None)
-    next_table = steps.reseed_merge(
-        tracked_table, cand_xy, cand_score, cand_valid & fire,
-        min_distance=cfg.min_distance,
-    )
-    if cfg.matcher != "knn":
-        # Reseeded slots moved: the cached blocks no longer cover them —
-        # recapture around the merged table on reseed frames. Blocks are the
-        # ONLY thing crossing this cond: a dense where-select was measured
-        # strictly worse (~0.9 ms/frame of HBM traffic for the ~25 MB block
-        # pytree, tpu_stage_bench "manual + reseed select") than the cond's
-        # buffer handling (~0.3 ms). (knn carries the raw image; nothing to
-        # recapture.)
+        if cfg.matcher == "knn":
+            return tbl2, new_blocks  # knn carries the raw image; no capture
+        # Reseeded slots moved: the cached blocks no longer cover them.
         lk = steps.lk_module(cfg.lk_impl, cfg.lk_window, cfg.lk_search)
-        new_blocks = lax.cond(
-            fire,
-            lambda _: lk.capture_blocks(
-                next_pyr, next_table.xy, win=cfg.lk_window,
-                search=cfg.lk_search if cfg.lk_search > 0 else None,
-            ),
-            lambda _: new_blocks,
-            None,
+        blocks2 = lk.capture_blocks(
+            next_pyr, tbl2.xy, win=cfg.lk_window,
+            search=cfg.lk_search if cfg.lk_search > 0 else None,
         )
+        return tbl2, blocks2
+
+    next_table, new_blocks = lax.cond(
+        fire, do_reseed, lambda op: op, (tracked_table, new_blocks)
+    )
 
     # --- pose: PnP vs essential-matrix bootstrap. Only per-slot deltas
     # cross the cond; the map/table updates are applied branchlessly
