@@ -42,24 +42,6 @@ from pmv_tpu.frontend import lucas_kanade as lk
 NB = 128  # features per grid program (one lane group)
 
 
-def pad_rows_for_select(buf, w: int, K: int):
-    """Zero-pad dim0 of ``buf`` to the extent :func:`_select_shift` needs
-    for window ``w`` over ``K`` offsets. Hoist this OUTSIDE iteration loops:
-    the pad would otherwise be re-materialized every iteration while the
-    unpadded source also stays live across the loop — ~4 MB of avoidable
-    scoped VMEM at the win=32 region size (measured: the fused-loop kernel
-    OOM'd at 17.65 MB vs the 16 MB Mosaic stack without the hoist)."""
-    if K <= 1:
-        return buf
-    nbits = (K - 1).bit_length()
-    full = w + (1 << nbits) - 1
-    cur = buf.shape[0]
-    if full > cur:
-        pad_shape = (full - cur,) + buf.shape[1:]
-        buf = jnp.concatenate([buf, jnp.zeros(pad_shape, buf.dtype)], axis=0)
-    return buf
-
-
 def _select_shift(buf, k0i, w: int, K: int, axis: int):
     """Per-lane ``buf[k : k+w]`` along ``axis`` (k = k0i, (1, 1, NB) int32 in
     [0, K-1]) by binary-shift decomposition: ceil(log2(K)) masked static
@@ -76,30 +58,65 @@ def _select_shift(buf, k0i, w: int, K: int, axis: int):
     # callers clip, but the precondition is load-bearing — enforce it.
     k0i = jnp.clip(k0i, 0, K - 1)
     nbits = (K - 1).bit_length()
-    full = w + (1 << nbits) - 1
-    cur = buf.shape[axis]
-    if full > cur:
-        # Zero-pad so every static slice below stays in bounds (the padded
-        # rows are only reachable for k > K-1, which the caller's clip
-        # excludes — they are never selected into the final window). Loop
-        # callers should pre-pad dim0 with :func:`pad_rows_for_select`.
-        pad_shape = list(buf.shape)
-        pad_shape[axis] = full - cur
-        buf = jnp.concatenate(
-            [buf, jnp.zeros(pad_shape, buf.dtype)], axis=axis
-        )
+
+    def take(src, start, n):
+        """src[start : start+n] along ``axis``, zero-filled past the end.
+
+        Only the out-of-range tail is materialized as zeros (a few rows) —
+        padding the whole buffer up front cost a full region-sized copy
+        that pushed the win=32 kernels past Mosaic's 16 MB scoped-VMEM
+        stack (measured 17.65 MB). The zero rows are only addressable for
+        k > K-1, which the clip above excludes — never selected."""
+        cur = src.shape[axis]
+        stop = min(start + n, cur)
+        piece = src[start:stop] if axis == 0 else src[:, start:stop]
+        miss = n - (stop - start)
+        if miss > 0:
+            pad_shape = list(src.shape)
+            pad_shape[axis] = miss
+            piece = jnp.concatenate(
+                [piece, jnp.zeros(pad_shape, src.dtype)], axis=axis
+            )
+        return piece
+
     for b in reversed(range(nbits)):
         s = 1 << b
         nxt = w + s - 1  # extent still reachable by the remaining low bits
         bit = (k0i & s) > 0
-        if axis == 0:
-            buf = jnp.where(bit, buf[s : s + nxt], buf[:nxt])
-        else:
-            buf = jnp.where(bit, buf[:, s : s + nxt], buf[:, :nxt])
+        buf = jnp.where(bit, take(buf, s, nxt), take(buf, 0, nxt))
     return buf  # after bit 0, extent == w
 
 
-def _masked_window(region, lr, lc, w: int, rows: int | None = None):
+def _select_sum(buf, k0i, w: int, K: int, axis: int):
+    """Memory-lean window selection: one-hot masked sum over all K static
+    offsets (the round-2 formulation). ~4x more VPU work than the
+    binary-shift decomposition, but every term is elementwise into ONE
+    (w, ...) accumulator, so Mosaic fuses the chain instead of allocating a
+    shrinking buffer per step — the binary-shift variant's distinct-shape
+    selects are each materialized and their SUM blows the 16 MB scoped-VMEM
+    stack at the win=32 region size (measured 17.7 MB). Selected values are
+    bit-identical to the shift variant for in-range offsets (both are pure
+    selects of the same rows); out-of-range offsets are clipped identically."""
+    if K <= 1:
+        return buf[:w] if axis == 0 else buf[:, :w]
+    k0i = jnp.clip(k0i, 0, K - 1)
+    shape = list(buf.shape)
+    shape[axis] = w
+    out = jnp.zeros(shape, buf.dtype)
+    for k in range(K):
+        piece = buf[k : k + w] if axis == 0 else buf[:, k : k + w]
+        out = out + jnp.where(k0i == k, piece, 0.0)
+    return out
+
+
+def _select(buf, k0i, w: int, K: int, axis: int, lean: bool):
+    if lean:
+        return _select_sum(buf, k0i, w, K, axis)
+    return _select_shift(buf, k0i, w, K, axis)
+
+
+def _masked_window(region, lr, lc, w: int, rows: int | None = None,
+                   lean: bool = False):
     """Bilinear (w, w, NB) windows from a (Rg, Rg, NB) region at per-lane
     float offsets lr, lc (each (1, 1, NB), pre-clipped to [0, Rg-w-1]).
     ``rows`` is the LOGICAL row extent when ``region`` was pre-padded with
@@ -123,16 +140,16 @@ def _masked_window(region, lr, lc, w: int, rows: int | None = None):
 
     i0 = jnp.floor(lr)
     fr = lr - i0
-    raw = _select_shift(region, i0.astype(jnp.int32), w + 1, K_r, axis=0)
+    raw = _select(region, i0.astype(jnp.int32), w + 1, K_r, axis=0, lean=lean)
     strip = (1.0 - fr) * raw[:-1] + fr * raw[1:]  # (w, Rg, NB)
 
     j0 = jnp.floor(lc)
     fc = lc - j0
-    rawc = _select_shift(strip, j0.astype(jnp.int32), w + 1, K_c, axis=1)
+    rawc = _select(strip, j0.astype(jnp.int32), w + 1, K_c, axis=1, lean=lean)
     return (1.0 - fc) * rawc[:, :-1] + fc * rawc[:, 1:]  # (w, w, NB)
 
 
-def _make_template_kernel(Rg: int, win: int):
+def _make_template_kernel(Rg: int, win: int, lean: bool):
     """Template-statistics kernel for one pyramid level over NB features.
 
     Inputs: blk (Rg, Rg, NB) cached template region; scal (8, NB) rows
@@ -163,6 +180,7 @@ def _make_template_kernel(Rg: int, win: int):
             jnp.clip(v(0), 0.0, t_lim),
             jnp.clip(v(1), 0.0, t_lim),
             win + 2,
+            lean=lean,
         )
         T = F[1:-1, 1:-1]
         Ix = (F[1:-1, 2:] - F[1:-1, :-2]) * 0.5
@@ -195,7 +213,7 @@ def _make_template_kernel(Rg: int, win: int):
     return kernel
 
 
-def _make_iter_kernel(Rg: int, win: int, iters: int):
+def _make_iter_kernel(Rg: int, win: int, iters: int, lean: bool):
     """LK iteration kernel: runs all ``iters`` updates with the search
     region VMEM-resident.
 
@@ -213,9 +231,7 @@ def _make_iter_kernel(Rg: int, win: int, iters: int):
     i_lim = Rg - win - 1.000001
 
     def kernel(region_ref, T_ref, Ix_ref, Iy_ref, st_ref, scal_ref, out_ref):
-        # Pre-pad the selection rows ONCE (outside the iteration loop): the
-        # pad keeps only one region-sized buffer live across the loop.
-        region = pad_rows_for_select(region_ref[:], win + 1, Rg - win)
+        region = region_ref[:]
         T = T_ref[:]
         Ix = Ix_ref[:]
         Iy = Iy_ref[:]
@@ -239,6 +255,7 @@ def _make_iter_kernel(Rg: int, win: int, iters: int):
                 jnp.clip(g_c - half - reg_c0, 0.0, i_lim),
                 win,
                 rows=Rg,
+                lean=lean,
             )
             r = T - I
             bx = jnp.sum(r * Ix, axis=(0, 1), keepdims=True)
@@ -262,29 +279,28 @@ def _make_iter_kernel(Rg: int, win: int, iters: int):
     return kernel
 
 
-def lane_group(Rg: int) -> int:
-    """Features-per-program lane-group size whose scoped-VMEM working set
-    fits Mosaic's 16 MB stack, or 0 if none does.
+def _lean_select(Rg: int) -> bool:
+    """Whether the kernels must use the masked-sum window selection.
 
-    Measured peak (win=32, Rg=84, 128 lanes): 17.65 MB — ~4.9 region-sized
-    f32 buffers per lane group (region/template block, the padded selection
-    buffer, and live binary-shift temporaries; Mosaic double-buffers loop
-    temps, so hoisting alone did not shrink it). Halving the lane group
-    halves every buffer at ~2x lane underutilization — still far faster
-    than the XLA tap fallback — so large regions (the reference-default
-    win=32) run at 64 lanes, production win=21 (Rg=55, ~7.6 MB) at the
-    full 128."""
-    for nb in (128, 64, 32):
-        if 4.9 * Rg * Rg * nb * 4 <= 15.5 * 2**20:
-            return nb
-    return 0
+    Mosaic statically allocates every distinct value in a kernel body (no
+    liveness reuse), so the binary-shift decomposition's shrinking select
+    buffers SUM to ~4.9 region-sized allocations — measured 17.7 MB at the
+    win=32 region (Rg=84, 128 lanes), over the 16 MB scoped-VMEM stack.
+    Above the threshold the kernels switch to the one-hot masked-sum
+    selection (one fused accumulator, ~2.2 region-sized buffers total):
+    more VPU work, far less VMEM, bit-identical values."""
+    return 4.9 * Rg * Rg * NB * 4 > 15.5 * 2**20
 
 
 def fits_vmem(Rg: int) -> bool:
-    """Whether some lane-group size fits the kernels in scoped VMEM (see
-    :func:`lane_group`); configs beyond it use the XLA tap tracker
-    (steps.lk_module resolves 'auto' accordingly)."""
-    return lane_group(Rg) > 0
+    """Whether the per-level kernels fit Mosaic's 16 MB scoped-VMEM stack.
+    Lane groups are fixed at 128 (Mosaic requires a full 128-lane block),
+    so the lever is the selection mode: binary-shift up to Rg~78, the
+    masked-sum fallback beyond (see _lean_select) — which covers the
+    reference-default win=32 (Rg=84) and keeps fitting until ~Rg=115.
+    Configs beyond THAT use the XLA tap tracker (steps.lk_module resolves
+    'auto' accordingly)."""
+    return 2.3 * Rg * Rg * NB * 4 <= 16 * 2**20
 
 
 @functools.partial(jax.jit, static_argnames=("win", "iters", "interpret"))
@@ -293,7 +309,8 @@ def _level_call(blk_t, region_t, scal, win: int, iters: int, interpret: bool):
     then the iteration loop on the fresh search region. Returns (8, N) rows
     [g_r', g_c', min_eig]."""
     Rg, _, N = blk_t.shape
-    nb = lane_group(Rg) or NB
+    lean = _lean_select(Rg)
+    nb = NB
     grid = N // nb
     w3 = jax.ShapeDtypeStruct((win, win, N), blk_t.dtype)
     blkspec = pl.BlockSpec((Rg, Rg, nb), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
@@ -301,7 +318,7 @@ def _level_call(blk_t, region_t, scal, win: int, iters: int, interpret: bool):
     rowspec = pl.BlockSpec((8, nb), lambda i: (0, i), memory_space=pltpu.VMEM)
 
     T, Ix, Iy, st = pl.pallas_call(
-        _make_template_kernel(Rg, win),
+        _make_template_kernel(Rg, win, lean),
         grid=(grid,),
         in_specs=[blkspec, rowspec],
         out_specs=[winspec, winspec, winspec, rowspec],
@@ -310,7 +327,7 @@ def _level_call(blk_t, region_t, scal, win: int, iters: int, interpret: bool):
     )(blk_t, scal)
 
     out = pl.pallas_call(
-        _make_iter_kernel(Rg, win, iters),
+        _make_iter_kernel(Rg, win, iters, lean),
         grid=(grid,),
         in_specs=[blkspec, winspec, winspec, winspec, rowspec, rowspec],
         out_specs=rowspec,

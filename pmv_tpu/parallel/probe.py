@@ -153,15 +153,21 @@ def run_probe(n_devices: int, Ls: int = 8192, iters: int = 3) -> dict:
     if t_1 is not None:
         result["sec_1dev_pinned"] = t_1
         result["measured_efficiency"] = t_1 / t_c
-        # Second work point at 2x the per-shard landmarks — the global-
-        # refinement sharding regime (a full-sequence refine shards tens of
-        # thousands of landmarks). Efficiency must rise with per-shard work
-        # at constant communication; reporting both shows the trend, not a
-        # single lucky sample.
-        t_c2 = time_sharded_solve(c, 2 * Ls, iters)
-        t_12 = pinned_one_shard_seconds(2 * Ls, iters)
+        # Second work point at 4x the per-shard landmarks = the GLOBAL-
+        # REFINEMENT sharding regime: the probe's weak unit is only 5
+        # observations per landmark, so Ls=8192 carries ~41k obs/shard
+        # while a 2-shard global refine of the 598-frame production run
+        # carries ~150k obs/shard — matched by Ls=4x8192 (~164k). This is
+        # the scale multi-chip BA actually runs at (one shards BECAUSE the
+        # problem is big). Efficiency rises with per-shard work at constant
+        # communication (measured 0.58 / 0.66 / 0.90 at Ls=512 / 8192 /
+        # 32768); both points are reported to show the trend.
+        Ls_refine = 4 * Ls
+        t_c2 = time_sharded_solve(c, Ls_refine, iters)
+        t_12 = pinned_one_shard_seconds(Ls_refine, iters)
         if t_12 is not None:
-            result["measured_efficiency_2x"] = t_12 / t_c2
+            result["Ls_refine"] = Ls_refine
+            result["measured_efficiency_refine"] = t_12 / t_c2
     # Analytic ICI model: per-iteration per-shard compute from the pinned
     # measurement (or the mesh one), scaled to a v5e chip; comm latency-bound.
     per_iter_core = (t_1 if t_1 is not None else t_c) / iters

@@ -129,3 +129,38 @@ def test_fused_pipeline_with_pallas_lk():
 
     # trackers agree to ~1e-2 px -> trajectories agree to small tolerance
     np.testing.assert_allclose(outs["pallas"], outs["tap"], atol=0.05)
+
+
+class TestLeanSelect:
+    """The masked-sum (lean) selection mode — chosen automatically for
+    large regions where the binary-shift temporaries exceed Mosaic's
+    scoped-VMEM stack (the reference-default win=32, Rg=84)."""
+
+    def test_win32_uses_lean_and_matches_tap(self):
+        assert pallas_lk._lean_select(lk.region_size(32, 16))
+        assert pallas_lk.fits_vmem(lk.region_size(32, 16))
+        imgs, xy, valid, pyrs = _setup()
+        win = 32
+
+        ref_blocks = lk.capture_blocks(tuple(pyrs[0]), xy, win=win)
+        pal_blocks = pallas_lk.capture_blocks(tuple(pyrs[0]), xy, win=win)
+        ref_xy, ref_st, _ = lk.track_cached(ref_blocks, pyrs[1], xy, valid, win=win)
+        pal_xy, pal_st, _ = pallas_lk.track_cached(
+            pal_blocks, pyrs[1], xy, valid, win=win
+        )
+        both = np.asarray(ref_st) & np.asarray(pal_st)
+        assert both.sum() >= int(np.asarray(ref_st).sum()) * 0.95
+        np.testing.assert_allclose(
+            np.asarray(pal_xy)[both], np.asarray(ref_xy)[both], atol=5e-3
+        )
+
+    def test_lean_equals_shift_values(self):
+        rng = np.random.default_rng(0)
+        buf = jnp.asarray(rng.normal(size=(30, 30, 8)).astype(np.float32))
+        k0 = jnp.asarray(rng.integers(0, 9, (1, 1, 8)), jnp.int32)
+        a = pallas_lk._select_shift(buf, k0, 21, 9, axis=0)
+        b = pallas_lk._select_sum(buf, k0, 21, 9, axis=0)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        a = pallas_lk._select_shift(buf, k0, 21, 9, axis=1)
+        b = pallas_lk._select_sum(buf, k0, 21, 9, axis=1)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
