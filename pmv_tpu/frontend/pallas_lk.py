@@ -87,40 +87,11 @@ def _select_shift(buf, k0i, w: int, K: int, axis: int):
     return buf  # after bit 0, extent == w
 
 
-def _select_sum(buf, k0i, w: int, K: int, axis: int):
-    """Memory-lean window selection: one-hot masked sum over all K static
-    offsets (the round-2 formulation). ~4x more VPU work than the
-    binary-shift decomposition, but every term is elementwise into ONE
-    (w, ...) accumulator, so Mosaic fuses the chain instead of allocating a
-    shrinking buffer per step — the binary-shift variant's distinct-shape
-    selects are each materialized and their SUM blows the 16 MB scoped-VMEM
-    stack at the win=32 region size (measured 17.7 MB). Selected values are
-    bit-identical to the shift variant for in-range offsets (both are pure
-    selects of the same rows); out-of-range offsets are clipped identically."""
-    if K <= 1:
-        return buf[:w] if axis == 0 else buf[:, :w]
-    k0i = jnp.clip(k0i, 0, K - 1)
-    shape = list(buf.shape)
-    shape[axis] = w
-    out = jnp.zeros(shape, buf.dtype)
-    for k in range(K):
-        piece = buf[k : k + w] if axis == 0 else buf[:, k : k + w]
-        out = out + jnp.where(k0i == k, piece, 0.0)
-    return out
-
-
-def _select(buf, k0i, w: int, K: int, axis: int, lean: bool):
-    if lean:
-        return _select_sum(buf, k0i, w, K, axis)
-    return _select_shift(buf, k0i, w, K, axis)
-
-
-def _masked_window(region, lr, lc, w: int, rows: int | None = None,
-                   lean: bool = False):
+def _masked_window(region, lr, lc, w: int, rows: int | None = None):
     """Bilinear (w, w, NB) windows from a (Rg, Rg, NB) region at per-lane
     float offsets lr, lc (each (1, 1, NB), pre-clipped to [0, Rg-w-1]).
-    ``rows`` is the LOGICAL row extent when ``region`` was pre-padded with
-    :func:`pad_rows_for_select` (defaults to the physical extent).
+    ``rows`` overrides the logical row extent (defaults to the physical
+    extent).
 
     Binary-shift window selection FIRST (w+1 rows/cols of the raw region),
     then the separable two-tap blend on the selected strip. Selecting before
@@ -140,16 +111,16 @@ def _masked_window(region, lr, lc, w: int, rows: int | None = None,
 
     i0 = jnp.floor(lr)
     fr = lr - i0
-    raw = _select(region, i0.astype(jnp.int32), w + 1, K_r, axis=0, lean=lean)
+    raw = _select_shift(region, i0.astype(jnp.int32), w + 1, K_r, axis=0)
     strip = (1.0 - fr) * raw[:-1] + fr * raw[1:]  # (w, Rg, NB)
 
     j0 = jnp.floor(lc)
     fc = lc - j0
-    rawc = _select(strip, j0.astype(jnp.int32), w + 1, K_c, axis=1, lean=lean)
+    rawc = _select_shift(strip, j0.astype(jnp.int32), w + 1, K_c, axis=1)
     return (1.0 - fc) * rawc[:, :-1] + fc * rawc[:, 1:]  # (w, w, NB)
 
 
-def _make_template_kernel(Rg: int, win: int, lean: bool):
+def _make_template_kernel(Rg: int, win: int):
     """Template-statistics kernel for one pyramid level over NB features.
 
     Inputs: blk (Rg, Rg, NB) cached template region; scal (8, NB) rows
@@ -180,7 +151,6 @@ def _make_template_kernel(Rg: int, win: int, lean: bool):
             jnp.clip(v(0), 0.0, t_lim),
             jnp.clip(v(1), 0.0, t_lim),
             win + 2,
-            lean=lean,
         )
         T = F[1:-1, 1:-1]
         Ix = (F[1:-1, 2:] - F[1:-1, :-2]) * 0.5
@@ -213,7 +183,7 @@ def _make_template_kernel(Rg: int, win: int, lean: bool):
     return kernel
 
 
-def _make_iter_kernel(Rg: int, win: int, iters: int, lean: bool):
+def _make_iter_kernel(Rg: int, win: int, iters: int):
     """LK iteration kernel: runs all ``iters`` updates with the search
     region VMEM-resident.
 
@@ -255,7 +225,6 @@ def _make_iter_kernel(Rg: int, win: int, iters: int, lean: bool):
                 jnp.clip(g_c - half - reg_c0, 0.0, i_lim),
                 win,
                 rows=Rg,
-                lean=lean,
             )
             r = T - I
             bx = jnp.sum(r * Ix, axis=(0, 1), keepdims=True)
@@ -279,28 +248,27 @@ def _make_iter_kernel(Rg: int, win: int, iters: int, lean: bool):
     return kernel
 
 
-def _lean_select(Rg: int) -> bool:
-    """Whether the kernels must use the masked-sum window selection.
-
-    Mosaic statically allocates every distinct value in a kernel body (no
-    liveness reuse), so the binary-shift decomposition's shrinking select
-    buffers SUM to ~4.9 region-sized allocations — measured 17.7 MB at the
-    win=32 region (Rg=84, 128 lanes), over the 16 MB scoped-VMEM stack.
-    Above the threshold the kernels switch to the one-hot masked-sum
-    selection (one fused accumulator, ~2.2 region-sized buffers total):
-    more VPU work, far less VMEM, bit-identical values."""
-    return 4.9 * Rg * Rg * NB * 4 > 15.5 * 2**20
+def _grid_pipelines(Rg: int) -> bool:
+    """Whether the multi-step grid (pallas pipelining) fits: pallas
+    DOUBLE-BUFFERS each grid step's input/output blocks, so the per-step
+    footprint is roughly kernel temporaries + 2x the block I/O. Measured:
+    the win=21 production region (Rg=55, ~11 MB total) pipelines fine; the
+    win=32 region (Rg=84) overflows at 17.7-18.4 MB WITH double buffering
+    but compiles and runs single-buffered (grid=1 per lane group, verified
+    on chip both for the template and the iteration kernel). Large regions
+    therefore issue one single-step pallas_call per 128-lane group."""
+    return 4.9 * Rg * Rg * NB * 4 <= 15.5 * 2**20
 
 
 def fits_vmem(Rg: int) -> bool:
-    """Whether the per-level kernels fit Mosaic's 16 MB scoped-VMEM stack.
-    Lane groups are fixed at 128 (Mosaic requires a full 128-lane block),
-    so the lever is the selection mode: binary-shift up to Rg~78, the
-    masked-sum fallback beyond (see _lean_select) — which covers the
-    reference-default win=32 (Rg=84) and keeps fitting until ~Rg=115.
-    Configs beyond THAT use the XLA tap tracker (steps.lk_module resolves
+    """Whether the per-level kernels fit Mosaic's 16 MB scoped-VMEM stack
+    (in per-lane-group single-buffered mode for large regions, see
+    _grid_pipelines; lane-dim blocks must be a full 128 lanes, so smaller
+    lane groups are not an out). The win=32 reference default (Rg=84) is
+    measured-good; the bound extrapolates its footprint with ~25% margin.
+    Configs beyond it use the XLA tap tracker (steps.lk_module resolves
     'auto' accordingly)."""
-    return 2.3 * Rg * Rg * NB * 4 <= 16 * 2**20
+    return 3.6 * Rg * Rg * NB * 4 <= 16 * 2**20
 
 
 @functools.partial(jax.jit, static_argnames=("win", "iters", "interpret"))
@@ -309,31 +277,54 @@ def _level_call(blk_t, region_t, scal, win: int, iters: int, interpret: bool):
     then the iteration loop on the fresh search region. Returns (8, N) rows
     [g_r', g_c', min_eig]."""
     Rg, _, N = blk_t.shape
-    lean = _lean_select(Rg)
     nb = NB
-    grid = N // nb
-    w3 = jax.ShapeDtypeStruct((win, win, N), blk_t.dtype)
-    blkspec = pl.BlockSpec((Rg, Rg, nb), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
-    winspec = pl.BlockSpec((win, win, nb), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
-    rowspec = pl.BlockSpec((8, nb), lambda i: (0, i), memory_space=pltpu.VMEM)
 
-    T, Ix, Iy, st = pl.pallas_call(
-        _make_template_kernel(Rg, win, lean),
-        grid=(grid,),
-        in_specs=[blkspec, rowspec],
-        out_specs=[winspec, winspec, winspec, rowspec],
-        out_shape=[w3, w3, w3, jax.ShapeDtypeStruct((8, N), blk_t.dtype)],
-        interpret=interpret,
-    )(blk_t, scal)
+    def run_groups(n_g: int):
+        """One template + one iteration pallas_call over ``n_g`` lane
+        groups. grid=n_g pipelines (pallas double-buffers each step's
+        block I/O); grid=1 on a pre-sliced group is single-buffered — the
+        mode large regions need (see _grid_pipelines)."""
+        M = n_g * nb
+        w3 = jax.ShapeDtypeStruct((win, win, M), blk_t.dtype)
+        blkspec = pl.BlockSpec((Rg, Rg, nb), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+        winspec = pl.BlockSpec((win, win, nb), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+        rowspec = pl.BlockSpec((8, nb), lambda i: (0, i), memory_space=pltpu.VMEM)
 
-    out = pl.pallas_call(
-        _make_iter_kernel(Rg, win, iters, lean),
-        grid=(grid,),
-        in_specs=[blkspec, winspec, winspec, winspec, rowspec, rowspec],
-        out_specs=rowspec,
-        out_shape=jax.ShapeDtypeStruct((8, N), blk_t.dtype),
-        interpret=interpret,
-    )(region_t, T, Ix, Iy, st, scal)
+        def call(blk_g, region_g, scal_g):
+            T, Ix, Iy, st = pl.pallas_call(
+                _make_template_kernel(Rg, win),
+                grid=(n_g,),
+                in_specs=[blkspec, rowspec],
+                out_specs=[winspec, winspec, winspec, rowspec],
+                out_shape=[w3, w3, w3, jax.ShapeDtypeStruct((8, M), blk_t.dtype)],
+                interpret=interpret,
+            )(blk_g, scal_g)
+            out = pl.pallas_call(
+                _make_iter_kernel(Rg, win, iters),
+                grid=(n_g,),
+                in_specs=[blkspec, winspec, winspec, winspec, rowspec, rowspec],
+                out_specs=rowspec,
+                out_shape=jax.ShapeDtypeStruct((8, M), blk_t.dtype),
+                interpret=interpret,
+            )(region_g, T, Ix, Iy, st, scal_g)
+            return out, st
+
+        return call
+
+    if _grid_pipelines(Rg) or interpret:
+        out, st = run_groups(N // nb)(blk_t, region_t, scal)
+    else:
+        call = run_groups(1)
+        outs = [
+            call(
+                blk_t[..., g * nb : (g + 1) * nb],
+                region_t[..., g * nb : (g + 1) * nb],
+                scal[:, g * nb : (g + 1) * nb],
+            )
+            for g in range(N // nb)
+        ]
+        out = jnp.concatenate([o for o, _ in outs], axis=-1)
+        st = jnp.concatenate([s_ for _, s_ in outs], axis=-1)
     # Row layout [g_r', g_c', min_eig]: callers read rows 0-2.
     return jnp.concatenate([out[:2], st[4:5], out[3:]], axis=0)
 

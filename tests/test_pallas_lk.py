@@ -131,14 +131,15 @@ def test_fused_pipeline_with_pallas_lk():
     np.testing.assert_allclose(outs["pallas"], outs["tap"], atol=0.05)
 
 
-class TestLeanSelect:
-    """The masked-sum (lean) selection mode — chosen automatically for
-    large regions where the binary-shift temporaries exceed Mosaic's
-    scoped-VMEM stack (the reference-default win=32, Rg=84)."""
+class TestLargeRegion:
+    """Large regions (the reference-default win=32, Rg=84) run one
+    single-buffered pallas_call per lane group — pallas's grid pipelining
+    double-buffers block I/O past Mosaic's scoped-VMEM stack there."""
 
-    def test_win32_uses_lean_and_matches_tap(self):
-        assert pallas_lk._lean_select(lk.region_size(32, 16))
+    def test_win32_uses_per_group_and_matches_tap(self):
+        assert not pallas_lk._grid_pipelines(lk.region_size(32, 16))
         assert pallas_lk.fits_vmem(lk.region_size(32, 16))
+        assert pallas_lk._grid_pipelines(lk.region_size(21, 10))
         imgs, xy, valid, pyrs = _setup()
         win = 32
 
@@ -154,13 +155,19 @@ class TestLeanSelect:
             np.asarray(pal_xy)[both], np.asarray(ref_xy)[both], atol=5e-3
         )
 
-    def test_lean_equals_shift_values(self):
+    def test_shift_equals_reference_select(self):
         rng = np.random.default_rng(0)
         buf = jnp.asarray(rng.normal(size=(30, 30, 8)).astype(np.float32))
-        k0 = jnp.asarray(rng.integers(0, 9, (1, 1, 8)), jnp.int32)
-        a = pallas_lk._select_shift(buf, k0, 21, 9, axis=0)
-        b = pallas_lk._select_sum(buf, k0, 21, 9, axis=0)
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-        a = pallas_lk._select_shift(buf, k0, 21, 9, axis=1)
-        b = pallas_lk._select_sum(buf, k0, 21, 9, axis=1)
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        k0 = np.asarray(rng.integers(0, 9, (1, 1, 8)), np.int32)
+        for axis in (0, 1):
+            got = np.asarray(
+                pallas_lk._select_shift(jnp.asarray(buf), jnp.asarray(k0), 21, 9, axis=axis)
+            )
+            for lane in range(8):
+                k = int(k0[0, 0, lane])
+                want = (
+                    np.asarray(buf)[k : k + 21, :, lane]
+                    if axis == 0
+                    else np.asarray(buf)[:, k : k + 21, lane]
+                )
+                np.testing.assert_array_equal(got[..., lane], want)
