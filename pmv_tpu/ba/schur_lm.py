@@ -162,14 +162,19 @@ def assemble_blocks(tr, lm, obs_uv, obs_pose, obs_lm, obs_mask, pose_free, K, de
 def assemble_blocks_grid(tr, lm, obs_uv, local, obs_mask, onehot, pose_free, K, delta):
     """Grid-structured assembly: observations laid out (P, N) pose-major
     (slot-aligned windows observe each landmark at most once per pose), with
-    landmark membership as a precomputed one-hot ``onehot`` (P, N, L).
+    landmark membership as a precomputed one-hot ``onehot`` (P, N, L) — or
+    ``None`` to build it in landmark chunks on the fly (the high-density
+    configs' (P, N, L) one-hot would be hundreds of MB; chunking keeps the
+    same MXU-matmul assembly at ~32 MB of working set and identical f32
+    results, since each observation matches exactly one chunk).
 
     Semantically identical to :func:`assemble_blocks` (up to f32 summation
     order), but the five scatter-adds become dense einsums — one-hot
     contractions are MXU matmuls, while TPU scatter-adds serialize and force
     awkward output layouts (measured: they made the composed
     assemble+schur iteration ~2x its isolated parts, tpu_schur_bench.py).
-    The one-hot is iteration-invariant, so callers build it once per solve.
+    The one-hot is iteration-invariant, so callers build it once per solve
+    when it fits.
 
     Returns (U (P,6,6), V (L,3,3), Wc (L,P,6,3), b_pose (P,6), b_lm (L,3),
     has_obs (L,)).
@@ -199,20 +204,40 @@ def assemble_blocks_grid(tr, lm, obs_uv, local, obs_mask, onehot, pose_free, K, 
 
     U = jnp.einsum("pnik,pnij->pkj", wJp, Jp, precision=_PREC)
     b_pose = -jnp.einsum("pnik,pni->pk", wJp, r, precision=_PREC)
-    VV = jnp.einsum("pnik,pnij->pnkj", wJl, Jl, precision=_PREC)
-    V = jnp.einsum(
-        "pnl,pnx->lx", onehot, VV.reshape(P, N, 9), precision=_PREC
-    ).reshape(L, 3, 3)
-    WW = jnp.einsum("pnik,pnij->pnkj", wJp, Jl, precision=_PREC)
-    Wc = jnp.einsum(
-        "pnl,pnx->lpx", onehot, WW.reshape(P, N, 18), precision=_PREC
-    ).reshape(L, P, 6, 3)
+    VV = jnp.einsum("pnik,pnij->pnkj", wJl, Jl, precision=_PREC).reshape(P, N, 9)
+    WW = jnp.einsum("pnik,pnij->pnkj", wJp, Jl, precision=_PREC).reshape(P, N, 18)
     bl = -jnp.einsum("pnik,pni->pnk", wJl, r, precision=_PREC)
-    b_lm = jnp.einsum("pnl,pnk->lk", onehot, bl, precision=_PREC)
-    has_obs = (
-        jnp.einsum("pnl,pn->l", onehot, obs_mask.astype(tr.dtype), precision=_PREC)
-        > 0
-    )
+    mask_f = obs_mask.astype(tr.dtype)
+
+    def lm_chunk(oh, Lc):
+        """V/Wc/b_lm/has_obs for one landmark chunk from its one-hot."""
+        V_c = jnp.einsum("pnl,pnx->lx", oh, VV, precision=_PREC).reshape(Lc, 3, 3)
+        Wc_c = jnp.einsum("pnl,pnx->lpx", oh, WW, precision=_PREC).reshape(
+            Lc, P, 6, 3
+        )
+        b_c = jnp.einsum("pnl,pnk->lk", oh, bl, precision=_PREC)
+        has_c = jnp.einsum("pnl,pn->l", oh, mask_f, precision=_PREC) > 0
+        return V_c, Wc_c, b_c, has_c
+
+    if onehot is not None:
+        V, Wc, b_lm, has_obs = lm_chunk(onehot, L)
+    else:
+        # ~8M f32 elements (32 MB) of one-hot per chunk.
+        Lc = max(1, min(L, (8 * 2**20) // max(P * N, 1)))
+        n_chunks = -(-L // Lc)
+
+        def one(c):
+            ids = c * Lc + jnp.arange(Lc, dtype=local.dtype)
+            oh = (
+                (local[..., None] == ids) & obs_mask[..., None]
+            ).astype(tr.dtype)
+            return lm_chunk(oh, Lc)
+
+        V, Wc, b_lm, has_obs = jax.lax.map(one, jnp.arange(n_chunks))
+        V = V.reshape(n_chunks * Lc, 3, 3)[:L]
+        Wc = Wc.reshape(n_chunks * Lc, P, 6, 3)[:L]
+        b_lm = b_lm.reshape(n_chunks * Lc, 3)[:L]
+        has_obs = has_obs.reshape(n_chunks * Lc)[:L]
     return U, V, Wc, b_pose, b_lm, has_obs
 
 
@@ -283,10 +308,16 @@ def ba_solve_grid(
         obs_mask = obs_mask & ok
 
     L = lm.shape[0]
-    onehot = (
-        (local[..., None] == jnp.arange(L, dtype=local.dtype))
-        & obs_mask[..., None]
-    ).astype(tr.dtype)
+    P, N = obs_mask.shape
+    # Precompute the iteration-invariant one-hot when it fits (~32 MB);
+    # larger problems build it per landmark chunk inside the assembly.
+    if P * N * L <= 8 * 2**20:
+        onehot = (
+            (local[..., None] == jnp.arange(L, dtype=local.dtype))
+            & obs_mask[..., None]
+        ).astype(tr.dtype)
+    else:
+        onehot = None
 
     def step_fn(tr_c, lm_c, lam):
         U, V, Wc, b_pose, b_lm, has_obs = assemble_blocks_grid(

@@ -433,37 +433,20 @@ def ba_step(state: StepState, K: jax.Array, cfg: StepConfig) -> StepState:
 
     # Grid solver: the window is pose-major slot-aligned, so observations
     # reshape to a dense (P, N) grid and assembly becomes one-hot matmuls
-    # instead of scatter-adds (schur_lm.assemble_blocks_grid). The one-hot
-    # is (P, N, L_win) — at the high-density config (N=2048, L_win=4N) it
-    # would be hundreds of MB, so large problems use the flat scatter-add
-    # assembly instead (static choice; the scatter cost is amortized by the
-    # much larger per-observation work at those sizes).
-    if P * N_cap * L_win <= 32 * 2**20:
-        tr_out, lm_local_out, _ = schur_lm.ba_solve_grid(
-            tr,
-            lm_local,
-            obs_uv.reshape(P, N_cap, 2),
-            local.reshape(P, N_cap),
-            obs_mask.reshape(P, N_cap),
-            pose_free,
-            K,
-            iters=cfg.ba_iters,
-            obs_gate_px=cfg.ba_obs_gate_px,
-        )
-    else:
-        prob = schur_lm.BAProblem(
-            tr=tr,
-            lm=lm_local,
-            obs_uv=obs_uv,
-            obs_pose=obs_pose,
-            obs_lm=local,
-            obs_mask=obs_mask,
-            pose_free=pose_free,
-            K=K,
-        )
-        tr_out, lm_local_out, _ = schur_lm.ba_solve(
-            prob, iters=cfg.ba_iters, obs_gate_px=cfg.ba_obs_gate_px
-        )
+    # instead of scatter-adds (schur_lm.assemble_blocks_grid; at
+    # high-density sizes the one-hot is built per landmark chunk inside the
+    # solver — same MXU assembly, bounded working set).
+    tr_out, lm_local_out, _ = schur_lm.ba_solve_grid(
+        tr,
+        lm_local,
+        obs_uv.reshape(P, N_cap, 2),
+        local.reshape(P, N_cap),
+        obs_mask.reshape(P, N_cap),
+        pose_free,
+        K,
+        iters=cfg.ba_iters,
+        obs_gate_px=cfg.ba_obs_gate_px,
+    )
     R_new, t_new = geo.ba_params_to_pose(tr_out)
     # Scatter optimized landmarks back to the global map (pad-row trick for
     # the fill slots).

@@ -180,3 +180,43 @@ class TestBASolveGrid:
             prob.pose_free, prob.K, iters=15, obs_gate_px=50.0,
         )
         np.testing.assert_allclose(np.asarray(tr_g), tr_gt, atol=1e-3)
+
+
+def test_grid_assembly_chunked_matches_precomputed():
+    """The landmark-chunked one-hot assembly (used when (P, N, L) is too
+    big to materialize) must equal the precomputed-one-hot path exactly —
+    each observation matches exactly one chunk, so the f32 sums are
+    identical term-for-term."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pmv_tpu.ba import schur_lm
+
+    rng = np.random.default_rng(3)
+    P, N, L = 4, 64, 48
+    K = jnp.asarray(
+        np.array([[100.0, 0, 32.0], [0, 100.0, 24.0], [0, 0, 1]], np.float32)
+    )
+    tr = jnp.asarray(rng.normal(0, 0.1, (P, 6)).astype(np.float32))
+    lm = jnp.asarray(
+        np.stack([rng.uniform(-5, 5, L), rng.uniform(-3, 3, L),
+                  rng.uniform(-30, -10, L)], -1).astype(np.float32)
+    )
+    local = jnp.asarray(rng.integers(0, L, (P, N)), jnp.int32)
+    obs_uv = jnp.asarray(rng.uniform(0, 64, (P, N, 2)).astype(np.float32))
+    obs_mask = jnp.asarray(rng.random((P, N)) < 0.8)
+    pose_free = jnp.asarray([False, True, True, True])
+
+    onehot = (
+        (local[..., None] == jnp.arange(L, dtype=jnp.int32))
+        & obs_mask[..., None]
+    ).astype(jnp.float32)
+    a = schur_lm.assemble_blocks_grid(
+        tr, lm, obs_uv, local, obs_mask, onehot, pose_free, K, 1.0
+    )
+    b = schur_lm.assemble_blocks_grid(
+        tr, lm, obs_uv, local, obs_mask, None, pose_free, K, 1.0
+    )
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

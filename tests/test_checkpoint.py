@@ -19,7 +19,7 @@ def make_pipe(tmp_path, frames=10, n_data_frames=None, **overrides):
         frames=frames, init_frames=2, min_tracked_features=150,
         tracked_features_tol=60, bundle_size=4, max_iterations=3,
         feature_capacity=256, map_capacity=1024, grid_rows=96, grid_cols=160,
-        lk_window=15, **overrides,
+        lk_window=15, traj_cap=64, **overrides,
     )
     return OdometryPipeline(cfg)
 

@@ -36,7 +36,7 @@ def _make_cfg(paths, tmp, chunk_frames=8, **kw):
         tracked_features_tol=80, bundle_size=5, max_iterations=3,
         feature_capacity=256, map_capacity=2048,
         grid_rows=128, grid_cols=256, lk_window=15,
-        chunk_frames=chunk_frames,
+        chunk_frames=chunk_frames, traj_cap=64,
     )
     base.update(kw)
     return VOConfig(**base)

@@ -34,7 +34,7 @@ def test_200_frame_corridor_stays_on_track(tmp_path, seed):
         frames=FRAMES, init_frames=3, min_tracked_features=400,
         tracked_features_tol=150, bundle_size=5, max_iterations=5,
         feature_capacity=512, map_capacity=8192,
-        grid_rows=192, grid_cols=256, seed=seed,
+        grid_rows=192, grid_cols=256, seed=seed, traj_cap=256,
     )
     pipe = OdometryPipeline(cfg)
     result = pipe.run()

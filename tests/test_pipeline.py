@@ -46,6 +46,8 @@ def make_cfg(paths, **kw):
         grid_cols=128,
         lk_window=21,
         verbose=0,
+        traj_cap=64,  # small device histories: CPU tests pay real time for
+        # the default 2048-row trajectory + map-snapshot arrays
     )
     defaults.update(kw)
     return VOConfig(**defaults)

@@ -24,7 +24,7 @@ def stress_cfg(paths, seed=11, **overrides):
         tracked_features_tol=80, bundle_size=5, max_iterations=3,
         feature_capacity=256, map_capacity=4096,
         grid_rows=128, grid_cols=256, lk_window=15, chunk_frames=1,
-        seed=seed,
+        seed=seed, traj_cap=64,
     )
     kw.update(overrides)
     return VOConfig(**kw)
