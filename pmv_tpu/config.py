@@ -92,9 +92,10 @@ class VOConfig:
     # Recommended ~4 px on scenes with moving objects/occlusions
     ba_window_obs: int = 4096      # max observations per BA window
     ba_lm_cap: int = 0             # max unique landmarks per fused-path BA
-    # window (0 = 2x feature_capacity). Overflow observations are masked
-    # out, never mis-indexed; raise it if a dense-pool config overflows
-    # (the fused loop warns when a window saturates the cap)
+    # window (0 = bundle_size x feature_capacity — the true maximum, so no
+    # observation is ever dropped). Lowering it shrinks the BA tensors but
+    # risks a biased window when it saturates (the fused loop warns; see
+    # pipeline/fused.StepConfig.ba_lm_cap)
     chunk_frames: int = 8          # frames per device dispatch (lax.scan chunk)
     traj_cap: int = 2048           # device trajectory-history capacity. A TRUE
     # constant across runs: it is a static shape of every compiled program, so

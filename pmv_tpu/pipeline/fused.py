@@ -71,15 +71,15 @@ class StepConfig(NamedTuple):
     ba_obs_gate_px: float = 0.0  # initial-residual observation gate (px)
     ba_cadence: int = 0  # frames between BA calls; 0 = reference cadence
     # (bundle_size//3*2, OdometryPipeline.cpp:407)
-    ba_lm_cap: int = 0  # max unique landmarks per BA window; 0 = 4x feature
-    # capacity. The dense Schur block tensors shrink from P*N to this cap;
-    # overflow observations are masked out (graceful, never wrong-indexed).
-    # The cap must comfortably exceed a window's true unique count: a window
-    # containing a triangulation frame re-binds most slots to FRESH
-    # landmarks (~N old + ~N new unique), and a saturated cap silently
-    # drops a biased subset of observations — measured to drive a steady
-    # heading drift (seed-1 598-frame ATE 90 m at cap 2N vs 6.9 m at 4N,
-    # artifacts/diag). StepState.ba_overflow counts saturated BA calls.
+    ba_lm_cap: int = 0  # max unique landmarks per BA window; 0 = P*N
+    # (bundle_size x feature capacity) — the true maximum, so NO
+    # observation can ever be dropped. The unique-landmark compaction still
+    # shrinks the dense Schur tensors from map_capacity (8192) to ~P*N
+    # (2560 at defaults); a smaller explicit cap trades BA cost for drop
+    # risk: a saturated cap silently masks a biased observation subset,
+    # measured to drive steady heading drift (tuned seed-1 598-frame ATE
+    # 90 m at cap 2N vs 6.9 m uncapped-equivalent; parity seed-2 168 m at
+    # 4N — artifacts/diag). StepState.ba_overflow counts saturated calls.
     traj_cap: int = 1024  # device trajectory capacity (frames)
     lk_impl: str = "tap"  # LK tracker backend: tap | pallas | auto
     map_hist_rows: int = 0  # landmark-position snapshot rows (0 = off).
@@ -418,7 +418,7 @@ def ba_step(state: StepState, K: jax.Array, cfg: StepConfig) -> StepState:
     # observations of landmarks beyond the cap are masked out instead of
     # mis-indexed.
     N_cap = xy.shape[1]
-    L_win = cfg.ba_lm_cap if cfg.ba_lm_cap > 0 else 4 * N_cap
+    L_win = cfg.ba_lm_cap if cfg.ba_lm_cap > 0 else P * N_cap
     big = jnp.int32(state.map.capacity)
     ids = jnp.where(obs_mask, obs_lm, big)
     uniq = jnp.unique(ids, size=L_win, fill_value=big)
