@@ -27,7 +27,10 @@ import numpy as np
 
 BASELINE_FPS = 24.8  # reference 5/5 config on KITTI 07 (BASELINE.md)
 
-N_FRAMES = int(os.environ.get("BENCH_FRAMES", "120"))
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "598"))
+# Default = the reference's own workload length (KITTI-07, 600 frames,
+# Presentation.pdf slide 14) so the vs_baseline ratio compares equal-length
+# runs; short runs also under-amortize the tunnel's per-dispatch overhead.
 # Warmup must reach every compiled program of the timed run: init (5 frames)
 # + a full chunk + remainder-sized (1) chunks + a BA call. Segmented mode
 # needs one full chunk per segment.

@@ -222,22 +222,23 @@ def assemble_blocks_grid(tr, lm, obs_uv, local, obs_mask, onehot, pose_free, K, 
     if onehot is not None:
         V, Wc, b_lm, has_obs = lm_chunk(onehot, L)
     else:
-        # ~8M f32 elements (32 MB) of one-hot per chunk.
+        # ~8M f32 elements (32 MB) of one-hot per chunk. Unrolled python
+        # loop, NOT lax.map: a map nested inside the fused loop's
+        # cond-inside-scan crashed the TPU worker (kernel fault) at the
+        # high-density size, while the identical unrolled program runs.
         Lc = max(1, min(L, (8 * 2**20) // max(P * N, 1)))
         n_chunks = -(-L // Lc)
-
-        def one(c):
+        parts = []
+        for c in range(n_chunks):
             ids = c * Lc + jnp.arange(Lc, dtype=local.dtype)
             oh = (
                 (local[..., None] == ids) & obs_mask[..., None]
             ).astype(tr.dtype)
-            return lm_chunk(oh, Lc)
-
-        V, Wc, b_lm, has_obs = jax.lax.map(one, jnp.arange(n_chunks))
-        V = V.reshape(n_chunks * Lc, 3, 3)[:L]
-        Wc = Wc.reshape(n_chunks * Lc, P, 6, 3)[:L]
-        b_lm = b_lm.reshape(n_chunks * Lc, 3)[:L]
-        has_obs = has_obs.reshape(n_chunks * Lc)[:L]
+            parts.append(lm_chunk(oh, Lc))
+        V = jnp.concatenate([p[0] for p in parts])[:L]
+        Wc = jnp.concatenate([p[1] for p in parts])[:L]
+        b_lm = jnp.concatenate([p[2] for p in parts])[:L]
+        has_obs = jnp.concatenate([p[3] for p in parts])[:L]
     return U, V, Wc, b_pose, b_lm, has_obs
 
 

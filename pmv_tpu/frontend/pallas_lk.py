@@ -14,13 +14,17 @@ layout:
   (512 features = exactly 4 lane groups, zero padding waste; the XLA
   layout pads Rg=55 lanes to 128);
 - each feature's subpixel window shares ONE fractional offset, so a
-  bilinear sample is a dense two-tap blend followed by a per-feature
-  integer shift. The blend is one elementwise pass; the shift is a masked
-  sum over the K = Rg - w possible static offsets — pure lane-parallel
-  VPU select/FMA with no gathers and no matmuls;
-- the template statistics and the full LK iteration loop run inside one
-  kernel invocation with the search region VMEM-resident, so iterations
-  cost zero HBM traffic.
+  bilinear sample is a per-feature integer window selection (a binary-
+  shift decomposition: ceil(log2 K) masked static shifts over the
+  K = Rg - w offsets) followed by a two-tap blend of the selected strip —
+  pure lane-parallel VPU select/FMA with no gathers and no matmuls;
+- each level runs as TWO kernels — template statistics from the cached
+  block, then the full LK iteration loop with the search region
+  VMEM-resident (iterations cost zero HBM traffic). The split gives each
+  kernel its own scoped-VMEM stack; large regions (the reference-default
+  win=32) additionally run one single-buffered pallas_call per lane group
+  because pallas's grid pipelining double-buffers block I/O
+  (see _grid_pipelines).
 
 On non-TPU backends the kernel runs in interpreter mode, which keeps the
 code path testable on the CPU mesh (tests/test_pallas_lk.py asserts
