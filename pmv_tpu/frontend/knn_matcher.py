@@ -69,9 +69,13 @@ def knn_match(
     k = min(k, cand_xy.shape[0])
     _, nn = lax.top_k(-d, k)  # (N, k) nearest candidate indices
 
-    P_prev = _patches(prev_img, prev_table.xy, window)  # (N, w, w)
+    # compareFeatures loops x,y in [-ceil(w/2), +ceil(w/2)] — a
+    # (2*ceil(w/2)+1)-sided patch (17x17 for window=15) — while normalizing
+    # by window^2 (kNNFeatureMatcher.cpp:103-121). Keep both quirks.
+    psize = 2 * -(-window // 2) + 1
+    P_prev = _patches(prev_img, prev_table.xy, psize)  # (N, p, p)
     nn_xy = cand_xy[nn.reshape(-1)]  # (N*k, 2)
-    P_next = _patches(next_img, nn_xy, window).reshape(N, k, window, window)
+    P_next = _patches(next_img, nn_xy, psize).reshape(N, k, psize, psize)
     # Reference error: sqrt(SSD) / window^2 (kNNFeatureMatcher.cpp:120).
     ssd = jnp.sum((P_next - P_prev[:, None]) ** 2, axis=(2, 3))
     err = jnp.sqrt(ssd) / (window * window)
@@ -80,10 +84,14 @@ def knn_match(
     best_idx = jnp.take_along_axis(nn, best[:, None], axis=1)[:, 0]
     best_xy = cand_xy[best_idx]
 
-    matched = prev_table.valid & (best_err < threshold)
+    # An under-populated candidate set lets top_k admit invalid slots (inf
+    # spatial distance but real garbage xy); never accept those.
+    matched = prev_table.valid & cand_valid[best_idx] & (best_err < threshold)
     disp = jnp.max(jnp.abs(best_xy - prev_table.xy), axis=-1)  # Chebyshev
+    # The reference averages matched displacements over ALL previous
+    # features, not just matched ones (kNNFeatureMatcher.cpp:42).
     mean_disp = jnp.sum(jnp.where(matched, disp, 0.0)) / jnp.maximum(
-        jnp.sum(matched), 1
+        jnp.sum(prev_table.valid), 1
     )
     matched = matched & (disp <= 3.0 * mean_disp)
 

@@ -275,8 +275,13 @@ def fits_vmem(Rg: int) -> bool:
     return 3.6 * Rg * Rg * NB * 4 <= 16 * 2**20
 
 
-@functools.partial(jax.jit, static_argnames=("win", "iters", "interpret"))
-def _level_call(blk_t, region_t, scal, win: int, iters: int, interpret: bool):
+@functools.partial(
+    jax.jit, static_argnames=("win", "iters", "interpret", "force_groups")
+)
+def _level_call(
+    blk_t, region_t, scal, win: int, iters: int, interpret: bool,
+    force_groups: bool = False,
+):
     """Two pallas_calls per level: template stats from the cached block,
     then the iteration loop on the fresh search region. Returns (8, N) rows
     [g_r', g_c', min_eig]."""
@@ -315,7 +320,9 @@ def _level_call(blk_t, region_t, scal, win: int, iters: int, interpret: bool):
 
         return call
 
-    if _grid_pipelines(Rg) or interpret:
+    # force_groups is a test hook: interpret mode has no VMEM limit, so the
+    # per-lane-group branch would otherwise only ever run on the real chip.
+    if (_grid_pipelines(Rg) or interpret) and not force_groups:
         out, st = run_groups(N // nb)(blk_t, region_t, scal)
     else:
         call = run_groups(1)
@@ -346,7 +353,8 @@ def _pad_n(x, N_pad):
 
 
 def _track_level_cached(
-    blk_t, blk_r0, blk_c0, next_img, pts_level, guess, win, iters, search, interpret
+    blk_t, blk_r0, blk_c0, next_img, pts_level, guess, win, iters, search,
+    interpret, force_groups=False,
 ):
     """Pallas counterpart of lucas_kanade._track_level_cached: same
     contract, blocks in (Rg, Rg, N) feature-lanes layout."""
@@ -378,7 +386,8 @@ def _track_level_cached(
     scal = scal.at[5, :N].set(reg_c0.astype(jnp.float32))
 
     out = _level_call(
-        _pad_n(blk_t, N_pad), _pad_n(region_t, N_pad), scal, win, iters, interpret
+        _pad_n(blk_t, N_pad), _pad_n(region_t, N_pad), scal, win, iters,
+        interpret, force_groups,
     )
     g = jnp.stack([out[1, :N], out[0, :N]], axis=-1) - PAD
     return g, out[2, :N], ok, (region_t, reg_r0, reg_c0)
@@ -400,7 +409,8 @@ def capture_blocks(pyr: tuple, pts, win: int = 32, search: int | None = None):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("win", "iters", "search", "interpret")
+    jax.jit,
+    static_argnames=("win", "iters", "search", "interpret", "force_groups"),
 )
 def track_cached(
     blocks: tuple,
@@ -412,6 +422,7 @@ def track_cached(
     min_eig_threshold: float = 1e-4,
     search: int | None = None,
     interpret: bool | None = None,
+    force_groups: bool = False,
 ):
     """Drop-in for lucas_kanade.track_cached with (Rg, Rg, N) blocks.
 
@@ -433,7 +444,7 @@ def track_cached(
         blk_t, br0, bc0 = blocks[lvl]
         guess, min_eig0, ok, captured = _track_level_cached(
             blk_t, br0, bc0, next_pyr[lvl], pts / s, guess, win, iters,
-            search, interpret,
+            search, interpret, force_groups,
         )
         ok_all = ok_all & ok
         new_blocks.append(captured)

@@ -424,10 +424,13 @@ def ba_step(state: StepState, K: jax.Array, cfg: StepConfig) -> StepState:
     uniq = jnp.unique(ids, size=L_win, fill_value=big)
     local = jnp.searchsorted(uniq, ids).astype(jnp.int32)
     local = jnp.minimum(local, L_win - 1)
-    obs_mask = obs_mask & (uniq[local] == ids)
-    # Saturation observability: a full unique table means observations were
-    # dropped (biased window — see ba_lm_cap docstring); count it.
-    saturated = (uniq[L_win - 1] < big).astype(jnp.int32)
+    kept = uniq[local] == ids
+    # Saturation observability: count calls that actually DROPPED an
+    # observation (a live id absent from the saturated unique table) — a
+    # merely-full table with zero drops is fine (with the default drop-free
+    # cap L_win = P*N a window can hold exactly L_win distinct landmarks).
+    saturated = jnp.any(obs_mask & ~kept).astype(jnp.int32)
+    obs_mask = obs_mask & kept
     uniq_safe = jnp.minimum(uniq, state.map.capacity - 1)
     lm_local = state.map.xyz[uniq_safe]
 

@@ -155,6 +155,25 @@ class TestLargeRegion:
             np.asarray(pal_xy)[both], np.asarray(ref_xy)[both], atol=5e-3
         )
 
+    def test_per_group_path_matches_pipelined_in_interpret(self):
+        """The per-lane-group single-buffered branch (what win=32 actually
+        runs on chip) must produce bit-identical output to the pipelined
+        branch — force_groups exercises its slicing and re-assembly in
+        interpret mode, where it would otherwise be unreachable."""
+        # >128 features so the per-group path runs >1 lane group (the
+        # concat re-assembly is what needs coverage).
+        imgs, xy, valid, pyrs = _setup(n_frames=2, n_per_tile=160)
+        win = 32
+        blocks = pallas_lk.capture_blocks(tuple(pyrs[0]), xy, win=win)
+        pipe_xy, pipe_st, _ = pallas_lk.track_cached(
+            blocks, pyrs[1], xy, valid, win=win
+        )
+        grp_xy, grp_st, _ = pallas_lk.track_cached(
+            blocks, pyrs[1], xy, valid, win=win, force_groups=True
+        )
+        np.testing.assert_array_equal(np.asarray(grp_st), np.asarray(pipe_st))
+        np.testing.assert_array_equal(np.asarray(grp_xy), np.asarray(pipe_xy))
+
     def test_shift_equals_reference_select(self):
         rng = np.random.default_rng(0)
         buf = jnp.asarray(rng.normal(size=(30, 30, 8)).astype(np.float32))
