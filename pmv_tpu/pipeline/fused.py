@@ -177,7 +177,7 @@ def init_state(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "steady"))
 def frame_step(
     state: StepState,
     next_img: jax.Array,
@@ -185,6 +185,7 @@ def frame_step(
     key: jax.Array,
     K: jax.Array,
     cfg: StepConfig,
+    steady: bool = False,
 ):
     """Process one frame. Returns (new_state, src_table', stats).
 
@@ -192,6 +193,15 @@ def frame_step(
     added by the triangulation branch (the reference also back-writes the
     source frame, OpenCVFivePointTri.cpp:51) — the host keeps it for BA
     windows.
+
+    ``steady=True`` compiles the steady-state program: the PnP/tri pose
+    cond, the (no-op-under-PnP) triangulation registration, and the
+    source-table hist back-writes are all removed — PnP runs
+    unconditionally. Valid ONLY while the map stays dense (``n3d >=
+    tracked_tol`` every frame); stats still report ``used_pnp`` = the
+    condition the full program would have branched on, so a steady chunk
+    with ``any(~used_pnp)`` is a detected violation the host must replay
+    with the full program (pipeline/odometry.py run()).
     """
     next_pyr = tuple(build_pyramid(next_img, cfg.lk_levels))
 
@@ -303,17 +313,29 @@ def frame_step(
             X_tri, inl & front, gt_step, jnp.sum(inl & front),
         )
 
-    R_d, t_d, pnp_used, pnp_inl, X_tri, tri_good, scale, n_inl = lax.cond(
-        is_pnp, pnp_branch, tri_branch, (state.table, next_table)
-    )
-    # Branchless updates: exactly one of the two masks is non-empty.
-    new_map = steps.kill_outlier_landmarks(
-        state.map, state.table.landmark, pnp_used, pnp_inl
-    )
-    src_table, next_table, new_map = steps.register_triangulated(
-        state.table, next_table, new_map, X_tri, tri_good, scale,
-        state.R, state.t,
-    )
+    if steady:
+        # Steady state: PnP always taken. tri_good is all-false there, so
+        # register_triangulated is an exact no-op — skip it and the source
+        # back-write entirely (src_table == state.table bit-for-bit).
+        R_d, t_d, pnp_used, pnp_inl, X_tri, tri_good, scale, n_inl = (
+            pnp_branch((state.table, next_table))
+        )
+        new_map = steps.kill_outlier_landmarks(
+            state.map, state.table.landmark, pnp_used, pnp_inl
+        )
+        src_table = state.table
+    else:
+        R_d, t_d, pnp_used, pnp_inl, X_tri, tri_good, scale, n_inl = lax.cond(
+            is_pnp, pnp_branch, tri_branch, (state.table, next_table)
+        )
+        # Branchless updates: exactly one of the two masks is non-empty.
+        new_map = steps.kill_outlier_landmarks(
+            state.map, state.table.landmark, pnp_used, pnp_inl
+        )
+        src_table, next_table, new_map = steps.register_triangulated(
+            state.table, next_table, new_map, X_tri, tri_good, scale,
+            state.R, state.t,
+        )
 
     R_new, t_new, R_s_new, t_s_new, accepted = motion_gate(
         R_d, t_d, state.R, state.t, state.R_s, state.t_s, scale
@@ -333,9 +355,23 @@ def frame_step(
         k=k_new,
         R_hist=state.R_hist.at[k_new].set(R_new),
         t_hist=state.t_hist.at[k_new].set(t_new),
-        tbl_xy_hist=state.tbl_xy_hist.at[state.k].set(src_table.xy).at[k_new].set(next_table.xy),
-        tbl_valid_hist=state.tbl_valid_hist.at[state.k].set(src_table.valid).at[k_new].set(next_table.valid),
-        tbl_lm_hist=state.tbl_lm_hist.at[state.k].set(src_table.landmark).at[k_new].set(next_table.landmark),
+        # Steady mode: src_table == state.table, whose values already sit in
+        # row state.k from the previous step — only the new row is written.
+        tbl_xy_hist=(
+            state.tbl_xy_hist.at[k_new].set(next_table.xy)
+            if steady
+            else state.tbl_xy_hist.at[state.k].set(src_table.xy).at[k_new].set(next_table.xy)
+        ),
+        tbl_valid_hist=(
+            state.tbl_valid_hist.at[k_new].set(next_table.valid)
+            if steady
+            else state.tbl_valid_hist.at[state.k].set(src_table.valid).at[k_new].set(next_table.valid)
+        ),
+        tbl_lm_hist=(
+            state.tbl_lm_hist.at[k_new].set(next_table.landmark)
+            if steady
+            else state.tbl_lm_hist.at[state.k].set(src_table.landmark).at[k_new].set(next_table.landmark)
+        ),
         map_hist=state.map_hist,
         ba_overflow=state.ba_overflow,
     )
@@ -349,7 +385,7 @@ def frame_step(
     return new_state, src_table, stats
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "steady"))
 def chunk_step(
     state: StepState,
     imgs_u8: jax.Array,  # (C, H, W) uint8
@@ -357,6 +393,7 @@ def chunk_step(
     keys: jax.Array,  # (C, 2) uint32
     K: jax.Array,
     cfg: StepConfig,
+    steady: bool = False,
 ):
     """Process C frames in ONE dispatch (lax.scan over frame_step +
     cadenced ba_step).
@@ -365,12 +402,18 @@ def chunk_step(
     regardless of size; scanning C frames per call amortizes that to
     ~overhead/C. Frames are shipped uint8 (4x less transfer than f32) and
     converted on device. Returns (state, per-frame stats pytree (C, ...)).
+
+    ``steady=True`` scans the cond-free steady-state frame_step (see its
+    docstring); the host validates ``stats['used_pnp'].all()`` at the end
+    of the run and replays with the full program on violation.
     """
     cadence = cfg.ba_cadence if cfg.ba_cadence > 0 else max(1, cfg.bundle_size // 3 * 2)
 
     def body(s, xs):
         img_u8, gt, key = xs
-        s, _, stats = frame_step(s, img_u8.astype(jnp.float32), gt, key, K, cfg)
+        s, _, stats = frame_step(
+            s, img_u8.astype(jnp.float32), gt, key, K, cfg, steady=steady
+        )
         j = s.k - 1
         do_ba = (cfg.bundle_size > 0) & (j > 0) & (j % cadence == 0)
         s = lax.cond(do_ba, lambda ss: ba_step(ss, K, cfg), lambda ss: ss, s)

@@ -17,6 +17,12 @@ Env: PARITY_SEEDS="0,1,2,3" PARITY_FRAMES=600 PARITY_OUT=artifacts/parity
      (the bench.py configuration: lk_window=21, pnp 3 px, reseed_tol=300)
      instead of the strict-parity overrides; VERDICT r3 asked for the
      tuned config to be re-swept after the round-3 PnP/BA rewrites.
+     PARITY_FAMILY=corridor|photo|stopgo — validation scene family
+     (VERDICT r4 #9): ``photo`` adds sensor noise + exposure drift +
+     vignetting to the corridor; ``stopgo`` is the stop-go trajectory
+     family (traffic-light speed profile). Defaults tuned only on the
+     clean corridor get caught by the other two.
+     PARITY_OVERRIDES='{"k":v}' — extra VOConfig overrides per run.
 """
 
 from __future__ import annotations
@@ -40,6 +46,16 @@ SEEDS = [int(s) for s in os.environ.get("PARITY_SEEDS", "0,1,2,3").split(",")]
 FRAMES = int(os.environ.get("PARITY_FRAMES", "600"))
 OUT = Path(os.environ.get("PARITY_OUT", "artifacts/parity"))
 SHAPE = (370, 1226)
+FAMILY = os.environ.get("PARITY_FAMILY", "corridor")
+# Scene families (VERDICT r4 #9): photometric stress on the corridor, and
+# the stop-go trajectory family. Magnitudes sized to real sensors: ~4 DN
+# read noise, 25% exposure ramp over the run, 30% corner vignetting.
+FAMILY_KW = {
+    "corridor": {},
+    "photo": dict(noise_std=4.0, exposure_drift=0.25, vignette=0.3),
+    "stopgo": dict(stop_every=80, stop_len=10),
+}[FAMILY]
+OVERRIDES = json.loads(os.environ.get("PARITY_OVERRIDES", "{}"))
 
 PARITY = dict(
     lk_window=32,
@@ -71,7 +87,8 @@ if os.environ.get("PARITY_CONFIG", "parity") == "tuned":
 def build_dataset() -> dict:
     from pmv_tpu.io import synthetic
 
-    d = Path("/tmp/pmv_bench_data") / f"seq_{FRAMES}_{SHAPE[0]}x{SHAPE[1]}"
+    suffix = "" if FAMILY == "corridor" else f"_{FAMILY}"
+    d = Path("/tmp/pmv_bench_data") / f"seq_{FRAMES}_{SHAPE[0]}x{SHAPE[1]}{suffix}"
     marker = d / "ok"
     paths = {
         "image_dir": str(d / "image_0"),
@@ -82,7 +99,7 @@ def build_dataset() -> dict:
         return paths
     seq = synthetic.make_sequence(
         n_frames=FRAMES, shape=SHAPE, K=synthetic.KITTI_K,
-        density=150.0, speed=1.0, yaw_rate=0.004, seed=0,
+        density=150.0, speed=1.0, yaw_rate=0.004, seed=0, **FAMILY_KW,
     )
     synthetic.write_kitti_layout(seq, d)
     marker.touch()
@@ -100,7 +117,7 @@ def run_seed(paths: dict, seed: int, frames: int) -> dict:
         camera_calibration=paths["camera_calibration"],
         poses=paths["poses"],
         camera=0, frames=frames, feature_capacity=512, map_capacity=8192,
-        error_path=str(err_path), seed=seed, **PARITY,
+        error_path=str(err_path), seed=seed, **{**PARITY, **OVERRIDES},
     )
     pipe = OdometryPipeline(cfg)
     t0 = time.perf_counter()
@@ -114,29 +131,57 @@ def run_seed(paths: dict, seed: int, frames: int) -> dict:
     n = min(len(t_est), len(gt) - off)
     rel = (t_est[1:n] - t_est[0]) - (gt[off + 1 : off + n] - gt[off])
     ate = float(np.sqrt(np.mean(np.sum(rel**2, axis=1))))
+    fps = result["frames"] / max(result["runtime"], 1e-9)
     return {
         "seed": seed,
+        "family": FAMILY,
         "frames": result["frames"],
-        "fps": round(result["frames"] / max(result["runtime"], 1e-9), 1),
+        "fps": round(fps, 1),
         "ate_rmse_m": round(ate, 2),
         "t_total": round(result["t_total"], 1),
         "R_total": round(result["R_total"], 3),
         "error_file": str(err_path),
         "lk_impl": cfg.lk_impl,
+        # Wire context (VERDICT r4 #10): fps rows without it are ambiguous
+        # under tunnel weather (parity r4 seed-0 read 20.7 vs 141-144 same
+        # binary). 453 KB/frame upload at SHAPE.
+        "wire_mb_s_achieved": round(fps * SHAPE[0] * SHAPE[1] / 1e6, 1),
     }
 
 
+def _upload_probe_mb_s() -> float:
+    """Session uplink probe (distinct buffers; lower bound — see bench.py)."""
+    import time
+
+    rng = np.random.default_rng(0)
+    xs = [rng.integers(0, 255, (8,) + SHAPE, dtype=np.uint8) for _ in range(6)]
+    a = jax.device_put(xs[0])
+    np.asarray(a[0, 0, :4])
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        devs = [jax.device_put(x) for x in xs]
+        for dv in devs:
+            np.asarray(dv[0, 0, :4])
+        best = min(best, time.perf_counter() - t0)
+    return len(xs) * xs[0].nbytes / best / 1e6
+
+
 def main() -> None:
-    print(f"device: {jax.devices()[0]}; parity config {PARITY}")
+    print(f"device: {jax.devices()[0]}; family {FAMILY}; parity config {PARITY}")
     paths = build_dataset()
+    probe = round(_upload_probe_mb_s(), 1)
+    print(f"tunnel upload probe: {probe} MB/s", flush=True)
     # Warmup at a short length: compiles every program of the parity shape
     # (fresh lk_window=32 programs) so the timed seeds are steady-state.
     warm = run_seed(paths, seed=SEEDS[0], frames=5 + 8 + 6)
     print(f"warmup done: {warm}", flush=True)
     rows = [run_seed(paths, s, FRAMES) for s in SEEDS]
     for r in rows:
+        r["tunnel_upload_probe_mb_s"] = probe
         print(json.dumps(r), flush=True)
-    (OUT / "summary.json").write_text(json.dumps(rows, indent=1))
+    suffix = "" if FAMILY == "corridor" else f"_{FAMILY}"
+    (OUT / f"summary{suffix}.json").write_text(json.dumps(rows, indent=1))
 
 
 if __name__ == "__main__":

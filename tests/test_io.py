@@ -111,6 +111,34 @@ class TestSynthetic:
         seq = synthetic.make_sequence(n_frames=2, shape=(96, 128), density=40)
         assert seq["images"].std() > 1.0
 
+    def test_stopgo_family_actually_stops(self):
+        """Stop-go trajectory family (VERDICT r4 #9): the speed profile must
+        ramp to ~0 during stops and recover to full speed between them."""
+        R, t = synthetic.make_trajectory(
+            100, speed=1.0, stop_every=30, stop_len=8, seed=0
+        )
+        steps = np.linalg.norm(np.diff(t, axis=0), axis=1)
+        assert steps.min() < 0.05  # creeping stop
+        assert steps.max() > 0.95  # full cruise recovered
+        assert (steps < 0.05).sum() >= 8  # at least one full stop window
+
+    def test_photometric_stressors(self):
+        """Exposure drift brightens late frames; vignetting dims corners
+        relative to center; both keep pixel values finite and in range."""
+        seq = synthetic.make_sequence(
+            n_frames=8, shape=(96, 160), density=40, seed=1,
+            exposure_drift=0.4, vignette=0.5, noise_std=2.0,
+        )
+        imgs = seq["images"]
+        assert np.isfinite(imgs).all() and imgs.min() >= 0 and imgs.max() <= 255
+        # corner gain ~ (1-vignette) x center gain: compare the static
+        # background gradient regions (corners vs center band)
+        f = imgs[0]
+        assert f[:8, :8].mean() < 0.75 * f[44:52, 76:84].mean()
+        # drift: same-scene luminance grows over the run (background ramps
+        # by up to 40%)
+        assert imgs[7].mean() > imgs[0].mean()
+
     def test_kitti_layout_roundtrip(self, tmp_path):
         seq = synthetic.make_sequence(n_frames=3, shape=(64, 96), density=10)
         paths = synthetic.write_kitti_layout(seq, tmp_path)

@@ -35,6 +35,13 @@ def test_200_frame_corridor_stays_on_track(tmp_path, seed):
         tracked_features_tol=150, bundle_size=5, max_iterations=5,
         feature_capacity=512, map_capacity=8192,
         grid_rows=192, grid_cols=256, seed=seed, traj_cap=256,
+        # Explicit cap keeps this CPU-mesh e2e affordable: the drop-free
+        # DEFAULT (P*N = 2560) quadrupled round 4's suite wall time, and a
+        # 200-frame window's true unique count sits well under 1024 (the
+        # round-3 value this pin was calibrated at). Drop-free default
+        # behavior itself is pinned by test_fused_consistency /
+        # test_pipeline at small capacities.
+        ba_lm_cap=1024,
     )
     pipe = OdometryPipeline(cfg)
     result = pipe.run()
