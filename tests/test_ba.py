@@ -170,6 +170,20 @@ class TestBASolveGrid:
         )
         np.testing.assert_allclose(np.asarray(tr_g), tr_gt, atol=1e-4)
 
+    def test_p10_window_matches_flat_solver(self, rng):
+        """BASELINE config #2 shape (bundle_size=10): every Schur tensor
+        doubles vs P=5 — S is (48,48) after gauge pins, W is (L,10,6,3).
+        The grid assembly must still agree with the flat solver."""
+        prob, tr_gt, X_gt = make_window(rng, P=10, noise=0.3)
+        uv, local, mask = self._gridify(prob, P=10)
+        tr_f, lm_f, st_f = ba_solve(prob, iters=8)
+        tr_g, lm_g, st_g = ba_solve_grid(
+            prob.tr, prob.lm, uv, local, mask, prob.pose_free, prob.K, iters=8
+        )
+        np.testing.assert_allclose(np.asarray(tr_g), np.asarray(tr_f), atol=5e-4)
+        np.testing.assert_allclose(np.asarray(lm_g), np.asarray(lm_f), atol=5e-3)
+        assert float(st_g["cost"]) < 0.05 * float(st_g["cost0"])
+
     def test_obs_gate(self, rng):
         prob, tr_gt, _ = make_window(rng)
         uv, local, mask = self._gridify(prob)

@@ -134,6 +134,27 @@ class TestEndToEnd:
         # (~init_offset meters); seed-to-seed spread is ~+-0.5 m.
         assert mean_err < 4.0, f"mean trajectory error {mean_err} m; tail {errs[-5:]}"
 
+    def test_bundle_size_10_window(self, dataset):
+        """BASELINE config #2 (bundle_size=10): the P=10 sliding window —
+        doubled Schur shapes, cadence 10//3*2=6 — must run e2e through the
+        fused path with accuracy comparable to P=5 on the same sequence.
+        Match: CeresBundleAdjustment.cpp:7-8 (window = min(bundle_size,
+        frame+1))."""
+        seq, paths = dataset
+        cfg = make_cfg(paths, bundle_size=10, max_iterations=10)
+        pipe = OdometryPipeline(cfg)
+        result = pipe.run()
+        assert result["frames"] >= 25
+        t_est = np.stack(pipe.t)
+        gt = pipe.gt_t.copy()
+        gt[:, 2] *= -1
+        errs = [
+            np.linalg.norm(t_est[i] - gt[i + pipe.init_offset])
+            for i in range(1, len(t_est))
+        ]
+        mean_err = float(np.mean(errs))
+        assert mean_err < 4.0, f"P=10 mean trajectory error {mean_err} m"
+
     def test_error_file_format(self, dataset, tmp_path):
         seq, paths = dataset
         err_file = tmp_path / "error.txt"
