@@ -96,6 +96,18 @@ class VOConfig:
     # observation is ever dropped). Lowering it shrinks the BA tensors but
     # risks a biased window when it saturates (the fused loop warns; see
     # pipeline/fused.StepConfig.ba_lm_cap)
+    cont_tri: int = 0              # 1 = continuous triangulation: on PnP
+    # frames, midpoint-triangulate tracked-but-unbound feature slots from
+    # the accepted relative pose and insert them into the map
+    # (pipeline/steps.continuous_triangulate). Keeps count3DPoints dense so
+    # the five-point bootstrap branch becomes cold-start-only (it otherwise
+    # re-fires every 6-18 frames and costs ~4.5 ms/event on chip). The
+    # reference has no counterpart (landmarks are only born in the bootstrap
+    # branch, OpenCVFivePointTri.cpp:36-53) — keep 0 for strict parity
+    cont_tri_reproj_px: float = 2.0  # accept gate: reprojection error in
+    # BOTH frames under this (px)
+    cont_tri_max_depth: float = 120.0  # accept gate: camera-frame depth band
+    cont_tri_min_depth: float = 1.0
     chunk_frames: int = 8          # frames per device dispatch (lax.scan chunk)
     traj_cap: int = 2048           # device trajectory-history capacity. A TRUE
     # constant across runs: it is a static shape of every compiled program, so

@@ -229,3 +229,36 @@ def huber_weight(r2: jax.Array, delta: float = 1.0) -> jax.Array:
     d2 = delta * delta
     safe = jnp.maximum(r2, jnp.finfo(r2.dtype).tiny)
     return jnp.where(r2 <= d2, 1.0, delta / jnp.sqrt(safe))
+
+
+def triangulate_midpoint(
+    R_rel: jax.Array, t_rel: jax.Array, x1: jax.Array, x2: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Closed-form midpoint triangulation, batched over N rays.
+
+    Camera 1 is [I|0], camera 2 is [R_rel|t_rel] (x2_cam = R_rel X + t_rel),
+    both in STANDARD camera coordinates (z > 0 in front); ``x1``/``x2`` are
+    unit-plane coords (N, 2). Returns (X (N, 3) in the camera-1 frame,
+    sin2 (N,) = squared sine of the ray parallax angle — the caller's
+    low-parallax gate; at sin2 -> 0 the midpoint is meaningless).
+
+    Unlike the DLT eigensolve used by the essential-matrix bootstrap
+    (solvers/essential.triangulate_points), this is a 2x2 closed form —
+    cheap enough to run EVERY frame for the continuous-triangulation path
+    (pipeline/steps.continuous_triangulate).
+    """
+    d1 = jnp.concatenate([x1, jnp.ones_like(x1[..., :1])], axis=-1)
+    d1 = d1 / jnp.linalg.norm(d1, axis=-1, keepdims=True)
+    d2c = jnp.concatenate([x2, jnp.ones_like(x2[..., :1])], axis=-1)
+    d2 = _mm(d2c, R_rel)  # R_rel^T rows -> direction in cam-1 frame
+    d2 = d2 / jnp.linalg.norm(d2, axis=-1, keepdims=True)
+    o2 = -_mm(t_rel[None, :], R_rel)[0]  # camera-2 center in cam-1 frame
+    B = jnp.sum(d1 * d2, axis=-1)
+    sin2 = jnp.maximum(1.0 - B * B, 0.0)
+    r1 = jnp.sum(d1 * o2, axis=-1)  # d1 . (o2 - o1), o1 = 0
+    r2 = jnp.sum(d2 * o2, axis=-1)
+    denom = jnp.where(sin2 > 1e-12, -sin2, -1e-12)
+    a = (B * r2 - r1) / denom
+    b = (r2 - B * r1) / denom
+    X = (a[..., None] * d1 + o2 + b[..., None] * d2) * 0.5
+    return X, sin2

@@ -71,6 +71,17 @@ class StepConfig(NamedTuple):
     ba_obs_gate_px: float = 0.0  # initial-residual observation gate (px)
     ba_cadence: int = 0  # frames between BA calls; 0 = reference cadence
     # (bundle_size//3*2, OdometryPipeline.cpp:407)
+    cont_tri: bool = False  # continuous triangulation on PnP frames:
+    # midpoint-triangulate unbound tracked slots from the accepted relative
+    # pose and insert them (steps.continuous_triangulate). Keeps the map
+    # dense so the five-point bootstrap (which costs ~4.5 ms per taken
+    # event, scripts/tpu_cond_attrib.py) becomes cold-start-only instead of
+    # re-firing every 6-18 frames. The reference has no counterpart — its
+    # map decays between bootstraps by construction (landmarks only born at
+    # OpenCVFivePointTri.cpp:36-53) — so this is OFF in parity configs.
+    cont_tri_reproj_px: float = 2.0
+    cont_tri_min_depth: float = 1.0
+    cont_tri_max_depth: float = 120.0
     ba_lm_cap: int = 0  # max unique landmarks per BA window; 0 = P*N
     # (bundle_size x feature capacity) — the true maximum, so NO
     # observation can ever be dropped. The unique-landmark compaction still
@@ -341,6 +352,19 @@ def frame_step(
         R_d, t_d, state.R, state.t, state.R_s, state.t_s, scale
     )
 
+    if cfg.cont_tri:
+        # Map maintenance AFTER the pose is known: triangulate unbound
+        # tracked slots against the accepted pose (no-op when the gate
+        # rejected or the tri branch just rebuilt the map).
+        src_table, next_table, new_map = steps.continuous_triangulate(
+            src_table, next_table, new_map,
+            state.R, state.t, R_new, t_new, K,
+            enable=accepted & is_pnp,
+            reproj_px=cfg.cont_tri_reproj_px,
+            min_depth=cfg.cont_tri_min_depth,
+            max_depth=cfg.cont_tri_max_depth,
+        )
+
     k_new = state.k + 1
 
     new_state = StepState(
@@ -355,21 +379,23 @@ def frame_step(
         k=k_new,
         R_hist=state.R_hist.at[k_new].set(R_new),
         t_hist=state.t_hist.at[k_new].set(t_new),
-        # Steady mode: src_table == state.table, whose values already sit in
-        # row state.k from the previous step — only the new row is written.
+        # Steady mode without cont_tri: src_table == state.table, whose
+        # values already sit in row state.k from the previous step — only
+        # the new row is written. (cont_tri back-binds landmarks into the
+        # source row, so it needs the double write in both modes.)
         tbl_xy_hist=(
             state.tbl_xy_hist.at[k_new].set(next_table.xy)
-            if steady
+            if steady and not cfg.cont_tri
             else state.tbl_xy_hist.at[state.k].set(src_table.xy).at[k_new].set(next_table.xy)
         ),
         tbl_valid_hist=(
             state.tbl_valid_hist.at[k_new].set(next_table.valid)
-            if steady
+            if steady and not cfg.cont_tri
             else state.tbl_valid_hist.at[state.k].set(src_table.valid).at[k_new].set(next_table.valid)
         ),
         tbl_lm_hist=(
             state.tbl_lm_hist.at[k_new].set(next_table.landmark)
-            if steady
+            if steady and not cfg.cont_tri
             else state.tbl_lm_hist.at[state.k].set(src_table.landmark).at[k_new].set(next_table.landmark)
         ),
         map_hist=state.map_hist,

@@ -468,6 +468,10 @@ class OdometryPipeline:
             ba_cadence=cfg.ba_cadence,
             ba_obs_gate_px=cfg.ba_obs_gate_px,
             ba_lm_cap=cfg.ba_lm_cap,
+            cont_tri=bool(cfg.cont_tri),
+            cont_tri_reproj_px=cfg.cont_tri_reproj_px,
+            cont_tri_min_depth=cfg.cont_tri_min_depth,
+            cont_tri_max_depth=cfg.cont_tri_max_depth,
             traj_cap=cfg.traj_cap,
             map_hist_rows=(
                 cfg.traj_cap // self._ba_cadence + 2 if cfg.map_hist else 0

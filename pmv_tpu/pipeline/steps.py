@@ -264,6 +264,81 @@ def register_triangulated(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("reproj_px", "min_depth", "max_depth", "min_sin2"),
+)
+def continuous_triangulate(
+    src_table: FeatureTable,
+    next_table: FeatureTable,
+    map_state: MapState,
+    R1: jax.Array,
+    t1: jax.Array,
+    R2: jax.Array,
+    t2: jax.Array,
+    K: jax.Array,
+    enable: jax.Array,
+    reproj_px: float = 2.0,
+    min_depth: float = 1.0,
+    max_depth: float = 120.0,
+    min_sin2: float = 1e-5,
+) -> tuple[FeatureTable, FeatureTable, MapState]:
+    """Map maintenance on PnP frames: midpoint-triangulate slots tracked in
+    both frames that have no live landmark, and insert the survivors.
+
+    The reference only creates landmarks in the bootstrap branch
+    (OpenCVFivePointTri.cpp:36-53), so its map decays between bootstraps
+    and the expensive five-point path re-fires every ~6-18 frames (diag
+    traces). Continuously triangulating fresh (reseeded) features from the
+    ALREADY-ESTIMATED relative pose keeps ``count3DPoints`` dense so the
+    bootstrap becomes a true cold-start path — fewer five-point solves AND
+    denser PnP/BA correspondence. TPU-shaped: one closed-form midpoint
+    solve batched over all N slots (geometry.triangulate_midpoint), no
+    RANSAC — gating (cheirality both views, depth band, reprojection error
+    both views, parallax) replaces consensus, and PnP's outlier erase
+    (kill_outlier_landmarks) reaps any survivor that still mis-tracks.
+
+    ``enable`` is a traced scalar bool (typically ``accepted & is_pnp``);
+    everything is an exact no-op when it is False.
+    """
+    from pmv_tpu.solvers.essential import normalize_points
+
+    F = jnp.asarray(FLIP, R1.dtype)
+    # Relative pose in STANDARD camera coords (see register_triangulated's
+    # flip convention): x_std = F R^T (p_w - t).
+    R_rel = F @ R2.T @ R1 @ F
+    t_rel = (F @ (R2.T @ (t1 - t2))[..., None])[..., 0]
+    x1 = normalize_points(src_table.xy, K)
+    x2 = normalize_points(next_table.xy, K)
+    X1_std, sin2 = geo.triangulate_midpoint(R_rel, t_rel, x1, x2)
+    z1 = X1_std[..., 2]
+    z2 = (X1_std @ R_rel.T + t_rel)[..., 2]
+    X_world = geo.transform(X1_std @ F, R1, t1)
+    e1 = jnp.linalg.norm(
+        geo.project_points(X_world, R1, t1, K) - src_table.xy, axis=-1
+    )
+    e2 = jnp.linalg.norm(
+        geo.project_points(X_world, R2, t2, K) - next_table.xy, axis=-1
+    )
+    ok = (
+        (z1 > min_depth) & (z1 < max_depth) & (z2 > min_depth)
+        & (sin2 > min_sin2) & (e1 < reproj_px) & (e2 < reproj_px)
+    )
+    bound = next_table.landmark >= 0
+    alive = map_state.alive[jnp.clip(next_table.landmark, 0)] & bound
+    cand = src_table.valid & next_table.valid & ~alive & ok & enable
+    new_map, slots = map_state.insert(X_world, cand)
+    return (
+        src_table._replace(
+            landmark=jnp.where(cand, slots, src_table.landmark)
+        ),
+        next_table._replace(
+            landmark=jnp.where(cand, slots, next_table.landmark)
+        ),
+        new_map,
+    )
+
+
 @jax.jit
 def kill_outlier_landmarks(
     map_state: MapState, lm_slots: jax.Array, used: jax.Array, inliers: jax.Array

@@ -224,3 +224,89 @@ class TestPointCloud:
         assert text.startswith("ply")
         assert "element vertex 2" in text
         assert "1.0000 2.0000 3.0000" in text
+
+
+class TestContinuousTriangulation:
+    """steps.continuous_triangulate (cont_tri, default OFF): midpoint
+    triangulation of unbound tracked slots from two accepted world poses.
+
+    Kept default-off: an e2e A/B (PERFORMANCE.md round 5) showed it cuts
+    five-point re-bootstraps ~4x but DEGRADES ATE — the reference design
+    re-injects GT scale at every bootstrap (OpenCVFivePointTri.cpp:28-34),
+    so suppressing bootstraps removes the pipeline's periodic scale
+    anchoring. The geometry itself is exact (this test)."""
+
+    def _poses(self):
+        import jax.numpy as jnp
+
+        def pose(yaw, pos):
+            c, s = np.cos(yaw), np.sin(yaw)
+            return (
+                jnp.asarray(np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])),
+                jnp.asarray(np.array(pos, np.float64)),
+            )
+
+        return pose(0.01, [0.1, 0.0, 0.0]), pose(0.03, [0.15, 0.02, -1.0])
+
+    def test_exact_on_perfect_data(self, rng):
+        import jax.numpy as jnp
+
+        from pmv_tpu.core import geometry as geo
+        from pmv_tpu.core.state import FeatureTable, MapState
+        from pmv_tpu.pipeline import steps
+
+        N = 64
+        K = jnp.asarray(np.array([[300.0, 0, 160], [0, 300.0, 96], [0, 0, 1]]))
+        (R1, t1), (R2, t2) = self._poses()
+        X_gt = jnp.asarray(
+            np.stack(
+                [rng.uniform(-10, 10, N), rng.uniform(-4, 4, N),
+                 rng.uniform(-50, -8, N)], -1,
+            )
+        )
+        mk = lambda uv: FeatureTable(
+            xy=uv, valid=jnp.ones(N, bool),
+            landmark=jnp.full((N,), -1, jnp.int32), score=jnp.ones(N),
+        )
+        src = mk(geo.project_points(X_gt, R1, t1, K))
+        nxt = mk(geo.project_points(X_gt, R2, t2, K))
+        s2, n2, m2 = steps.continuous_triangulate(
+            src, nxt, MapState.empty(256), R1, t1, R2, t2, K, jnp.asarray(True)
+        )
+        bound = np.asarray(n2.landmark) >= 0
+        assert bound.sum() >= N // 2  # depth/parallax gates pass for most
+        Xr = np.asarray(m2.xyz)[np.asarray(n2.landmark)[bound]]
+        np.testing.assert_allclose(Xr, np.asarray(X_gt)[bound], atol=1e-4)
+        # src slots bound identically
+        np.testing.assert_array_equal(
+            np.asarray(s2.landmark)[bound], np.asarray(n2.landmark)[bound]
+        )
+
+    def test_disabled_is_noop(self, rng):
+        import jax.numpy as jnp
+
+        from pmv_tpu.core import geometry as geo
+        from pmv_tpu.core.state import FeatureTable, MapState
+        from pmv_tpu.pipeline import steps
+
+        N = 16
+        K = jnp.asarray(np.array([[300.0, 0, 160], [0, 300.0, 96], [0, 0, 1]]))
+        (R1, t1), (R2, t2) = self._poses()
+        X_gt = jnp.asarray(
+            np.stack(
+                [rng.uniform(-5, 5, N), rng.uniform(-2, 2, N),
+                 rng.uniform(-30, -8, N)], -1,
+            )
+        )
+        mk = lambda uv: FeatureTable(
+            xy=uv, valid=jnp.ones(N, bool),
+            landmark=jnp.full((N,), -1, jnp.int32), score=jnp.ones(N),
+        )
+        src = mk(geo.project_points(X_gt, R1, t1, K))
+        nxt = mk(geo.project_points(X_gt, R2, t2, K))
+        m = MapState.empty(64)
+        s2, n2, m2 = steps.continuous_triangulate(
+            src, nxt, m, R1, t1, R2, t2, K, jnp.asarray(False)
+        )
+        assert not np.asarray(m2.alive).any()
+        np.testing.assert_array_equal(np.asarray(n2.landmark), -1)

@@ -306,6 +306,7 @@ class TestFusedKnnHighDensity:
         )
         assert int(stats["tracked"]) == int(ref.num_valid())
 
+    @pytest.mark.slow  # ~3 min on the 2-core CPU mesh (L_win = P*2048 BA)
     def test_high_density_capacity_2048(self, dataset):
         """N=2048 feature slots + flat BA assembly path (the one-hot grid
         would be P*N*L_win > 32M elements) — pins BASELINE config #3's
