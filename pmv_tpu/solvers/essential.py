@@ -198,6 +198,67 @@ def refine_relative_pose(
     return jnp.where(ok, R_out, R), jnp.where(ok, t_out, t)
 
 
+def triangulate_points_fast(
+    R: jax.Array, t: jax.Array, x1: jax.Array, x2: jax.Array
+) -> jax.Array:
+    """Inhomogeneous DLT triangulation: same 4 DLT rows as
+    :func:`triangulate_points` but with w fixed to 1, so the solve is a 3x3
+    normal-equation closed form (adjugate) instead of a batched 4x4
+    eigendecomposition.
+
+    On TPU the batched eigh costs ~1.5 ms at N=512 while this runs in ~0.3
+    ms (scripts/tpu_tri_bench.py) — and recover_pose triangulates 5x per
+    bootstrap event, making eigh the dominant cost of the whole five-point
+    branch. Agreement with the eigh path is ~1e-3 on inlier-parallax
+    points; both degrade together near w -> 0 (points at infinity), which
+    cheirality masks and the BA gate handle downstream.
+    """
+    P1 = jnp.concatenate([jnp.eye(3, dtype=R.dtype), jnp.zeros((3, 1), R.dtype)], axis=1)
+    P2 = jnp.concatenate([R, t[:, None]], axis=1)
+
+    def rows(P, x):
+        r1 = x[..., 0:1] * P[2][None, :] - P[0][None, :]
+        r2 = x[..., 1:2] * P[2][None, :] - P[1][None, :]
+        return r1, r2
+
+    a1, a2 = rows(P1, x1)
+    a3, a4 = rows(P2, x2)
+    A = jnp.stack([a1, a2, a3, a4], axis=-2)  # (N, 4, 4)
+    M = A[..., :3]
+    b = -A[..., 3]
+    AtA = jnp.einsum("nij,nik->njk", M, M, precision=_PREC)
+    Atb = jnp.einsum("nij,ni->nj", M, b, precision=_PREC)
+    r0, r1_, r2_ = AtA[..., 0, :], AtA[..., 1, :], AtA[..., 2, :]
+    cof0 = jnp.stack(
+        [
+            r1_[..., 1] * r2_[..., 2] - r1_[..., 2] * r2_[..., 1],
+            r0[..., 2] * r2_[..., 1] - r0[..., 1] * r2_[..., 2],
+            r0[..., 1] * r1_[..., 2] - r0[..., 2] * r1_[..., 1],
+        ],
+        axis=-1,
+    )
+    cof1 = jnp.stack(
+        [
+            r1_[..., 2] * r2_[..., 0] - r1_[..., 0] * r2_[..., 2],
+            r0[..., 0] * r2_[..., 2] - r0[..., 2] * r2_[..., 0],
+            r0[..., 2] * r1_[..., 0] - r0[..., 0] * r1_[..., 2],
+        ],
+        axis=-1,
+    )
+    cof2 = jnp.stack(
+        [
+            r1_[..., 0] * r2_[..., 1] - r1_[..., 1] * r2_[..., 0],
+            r0[..., 1] * r2_[..., 0] - r0[..., 0] * r2_[..., 1],
+            r0[..., 0] * r1_[..., 1] - r0[..., 1] * r1_[..., 0],
+        ],
+        axis=-1,
+    )
+    det = jnp.sum(r0 * cof0, axis=-1)
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    inv = jnp.stack([cof0, cof1, cof2], axis=-1)  # adjugate^T rows
+    return jnp.einsum("njk,nk->nj", inv, Atb, precision=_PREC) / det[..., None]
+
+
 @jax.jit
 def recover_pose(
     E: jax.Array,
@@ -225,7 +286,10 @@ def recover_pose(
     x2 = normalize_points(p2, K)
 
     def score(R, t):
-        X = triangulate_points(R, t, x1, x2)
+        # Closed-form 3x3 DLT: the batched 4x4 eigh ran 5x per bootstrap
+        # event and dominated the whole five-point branch on TPU (~1.5 ms
+        # each vs ~0.3 ms; scripts/tpu_tri_bench.py).
+        X = triangulate_points_fast(R, t, x1, x2)
         z1 = X[:, 2]
         z2 = (jnp.matmul(X, R.T, precision=_PREC) + t)[:, 2]
         front = (z1 > 0) & (z2 > 0) & valid
