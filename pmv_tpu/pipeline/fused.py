@@ -487,7 +487,17 @@ def ba_step(state: StepState, K: jax.Array, cfg: StepConfig) -> StepState:
     # observations of landmarks beyond the cap are masked out instead of
     # mis-indexed.
     N_cap = xy.shape[1]
-    L_win = cfg.ba_lm_cap if cfg.ba_lm_cap > 0 else P * N_cap
+    # Drop-free default: a window can't contain more distinct LIVE ids than
+    # the map has slots, so min(P*N, capacity) is still structurally
+    # drop-free. (The clamp also matters operationally: at the high-density
+    # shape P*N = 10240 > capacity = 8192, the scanned chunk program with an
+    # L_win=10240 unique table crashes the TPU runtime — see
+    # PERFORMANCE.md round 5; 8192 compiles and runs.)
+    L_win = (
+        cfg.ba_lm_cap
+        if cfg.ba_lm_cap > 0
+        else min(P * N_cap, state.map.capacity)
+    )
     big = jnp.int32(state.map.capacity)
     ids = jnp.where(obs_mask, obs_lm, big)
     uniq = jnp.unique(ids, size=L_win, fill_value=big)
