@@ -310,9 +310,15 @@ def ba_solve_grid(
 
     L = lm.shape[0]
     P, N = obs_mask.shape
-    # Precompute the iteration-invariant one-hot when it fits (~32 MB);
-    # larger problems build it per landmark chunk inside the assembly.
-    if P * N * L <= 8 * 2**20:
+    # Precompute the iteration-invariant one-hot when it fits (<=128 MB
+    # f32): the chunked fallback rebuilds + re-lays-out the one-hot inside
+    # EVERY LM iteration and measured 12-20x slower per iteration at equal
+    # FLOPs (chip: 5.3 ms/iter precomputed at P5/N512/L2560 vs 64 ms/iter
+    # chunked at L5120; 114 ms/iter at P10/N512/L2560 chunked). HBM is
+    # 16 GB — a transient 128 MB one-hot is the right trade; only the
+    # largest high-density windows (L_win 8192 at N=2048: 335 MB) still
+    # take the chunked path.
+    if P * N * L <= 32 * 2**20:
         onehot = (
             (local[..., None] == jnp.arange(L, dtype=local.dtype))
             & obs_mask[..., None]

@@ -39,6 +39,8 @@ import numpy as np
 SHAPE = (370, 1226)  # KITTI frame size
 BATCHES = [int(b) for b in os.environ.get("MSB_BATCHES", "1,2,4,8").split(",")]
 T = int(os.environ.get("MSB_FRAMES", "32"))
+P_BUNDLE = int(os.environ.get("MSB_BUNDLE", "5"))
+BA_ITERS = int(os.environ.get("MSB_BA_ITERS", "5"))
 C = int(os.environ.get("MSB_CHUNK", "8"))
 
 
@@ -55,7 +57,7 @@ def build_states_and_frames(B: int):
     cfg = fused.StepConfig(
         lk_levels=4, lk_window=21, lk_iters=10, tile_h=255, tile_w=255,
         n_per_tile=40, tracked_tol=150, e_hypos=256, pnp_hypos=128,
-        pnp_thresh=3.0, bundle_size=5, ba_iters=5, traj_cap=64,
+        pnp_thresh=3.0, bundle_size=P_BUNDLE, ba_iters=BA_ITERS, traj_cap=64,
         response="min_eig", lk_impl="auto", reseed_tol=300,
     )
     K = jnp.asarray(synthetic.KITTI_K.astype(np.float32))
