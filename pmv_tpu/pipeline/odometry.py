@@ -20,6 +20,7 @@ bookkeeping only.
 from __future__ import annotations
 
 import math
+import os
 from pathlib import Path
 
 import jax
@@ -552,10 +553,21 @@ class OdometryPipeline:
                         f"accepted {bool(s['accepted'][i])}"
                     )
 
+        # Tunnel-friendly serialization: overlapping a device_put with a
+        # LONG-running dispatch collapses the tunneled chip's effective
+        # upload rate ~10x (measured 2-3 MB/s vs the 30 MB/s probe during
+        # high-density runs whose chunks compute for ~250 ms; short-chunk
+        # configs overlap fine). With PMV_SYNC_UPLOAD=1 the loop blocks on
+        # the previous chunk before uploading the next — losing overlap but
+        # restoring full wire rate. No effect on real PCIe-attached chips.
+        sync_upload = os.environ.get("PMV_SYNC_UPLOAD") == "1"
+
         def dispatch(state, pend):
             dev_imgs, gts, kys, n = pend
             state, stats = fused.chunk_step(state, dev_imgs, gts, kys, self.K, step_cfg)
             log_stats(stats, n)
+            if sync_upload:
+                np.asarray(state.k)  # barrier: drain compute before next put
             return state
 
         def enqueue(state):
