@@ -28,6 +28,11 @@ def main() -> None:
     import os
 
     os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=2"
+        ).strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")
