@@ -176,20 +176,28 @@ def global_bundle_adjust(
         [window_t[i][: len(ranges[i])] for i in range(D)],
     )
     n = len(pipe.t)
-    anchored = np.zeros(n, bool)
-    anchored[0] = True
-    R0 = np.stack(pipe.R).astype(np.float64)
-    t0 = np.stack(pipe.t).astype(np.float64)
-    R_out, t_out = pose_graph.optimize(
-        jnp.asarray(R0),
-        jnp.asarray(t0),
-        jnp.asarray(E_idx),
-        jnp.asarray(E_R.astype(np.float64)),
-        jnp.asarray(E_t.astype(np.float64)),
-        jnp.ones(len(E_idx)),
-        jnp.asarray(anchored),
-        iters=10,
-    )
+    if len(E_idx) and (E_idx[:, 1] - E_idx[:, 0] == 1).all():
+        # Window edges form a pure chain: use the exact f64 closed form —
+        # the dense f32 GN solve NaNs past ~600 nodes (chain-Laplacian
+        # conditioning; see pose_graph.stitch_chain).
+        R_out, t_out = pose_graph.stitch_chain(
+            n, E_idx, E_R, E_t, np.asarray(pipe.R[0]), np.asarray(pipe.t[0])
+        )
+    else:
+        anchored = np.zeros(n, bool)
+        anchored[0] = True
+        R0 = np.stack(pipe.R).astype(np.float64)
+        t0 = np.stack(pipe.t).astype(np.float64)
+        R_out, t_out = pose_graph.optimize(
+            jnp.asarray(R0),
+            jnp.asarray(t0),
+            jnp.asarray(E_idx),
+            jnp.asarray(E_R.astype(np.float64)),
+            jnp.asarray(E_t.astype(np.float64)),
+            jnp.ones(len(E_idx)),
+            jnp.asarray(anchored),
+            iters=10,
+        )
     pipe.R = [np.asarray(R_out[i]) for i in range(n)]
     pipe.t = [np.asarray(t_out[i]) for i in range(n)]
     return pipe.R, pipe.t

@@ -98,6 +98,61 @@ def optimize(
     return jax.vmap(geo.rodrigues)(params[:, :3]), params[:, 3:]
 
 
+def stitch_chain(
+    n_nodes: int,
+    edges,      # (E, 2) int — must all be consecutive pairs (i, i+1)
+    meas_R,     # (E, 3, 3)
+    meas_t,     # (E, 3)
+    R0,         # (3, 3) anchor pose of node 0
+    t0,         # (3,)
+):
+    """Exact chain stitch: average the parallel edges of every consecutive
+    pair (chordal rotation mean via SVD projection, arithmetic translation
+    mean) and compose absolute poses from the node-0 anchor. O(N) host-side
+    float64 numpy.
+
+    VO window edges form a PURE CHAIN (window_edges emits only (i, i+1)
+    pairs; overlapping windows contribute parallel edges), and the dense
+    Gauss-Newton ``optimize`` on a chain is exactly equivalent to edge
+    averaging — but its 6N x 6N float32 normal solve has a chain-Laplacian
+    condition number growing ~N^2 and produces NaN around N~600 (measured:
+    fine at 150 nodes, NaN at 596). This closed form is exact, f64, and
+    has no conditioning limit; ``optimize`` remains for graphs with
+    loop-closure edges.
+    """
+    import numpy as np
+
+    edges = np.asarray(edges)
+    assert (edges[:, 1] - edges[:, 0] == 1).all(), "stitch_chain needs a chain"
+    mR = np.asarray(meas_R, np.float64)
+    mt = np.asarray(meas_t, np.float64)
+    # Accumulate per-pair sums.
+    sum_R = np.zeros((n_nodes - 1, 3, 3))
+    sum_t = np.zeros((n_nodes - 1, 3))
+    cnt = np.zeros(n_nodes - 1)
+    np.add.at(sum_R, edges[:, 0], mR)
+    np.add.at(sum_t, edges[:, 0], mt)
+    np.add.at(cnt, edges[:, 0], 1.0)
+    R_out = np.empty((n_nodes, 3, 3))
+    t_out = np.empty((n_nodes, 3))
+    R_out[0] = np.asarray(R0, np.float64)
+    t_out[0] = np.asarray(t0, np.float64)
+    for i in range(n_nodes - 1):
+        if cnt[i] > 0:
+            # Chordal mean: project the summed rotations back onto SO(3).
+            U, _, Vt = np.linalg.svd(sum_R[i])
+            D = np.diag([1.0, 1.0, np.sign(np.linalg.det(U @ Vt))])
+            R_ij = U @ D @ Vt
+            t_ij = sum_t[i] / cnt[i]
+        else:  # gap in coverage: identity edge (carry the previous pose)
+            R_ij = np.eye(3)
+            t_ij = np.zeros(3)
+        # Composition convention: R_j = R_ij R_i; t_j = R_i t_ij + t_i.
+        R_out[i + 1] = R_ij @ R_out[i]
+        t_out[i + 1] = R_out[i] @ t_ij + t_out[i]
+    return R_out, t_out
+
+
 def window_edges(window_frames: list[list[int]], window_R: list, window_t: list):
     """Build pose-graph edges from per-window absolute poses: one edge per
     consecutive pair inside each window (windows overlap, so overlapping

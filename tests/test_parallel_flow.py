@@ -192,3 +192,48 @@ class TestGlobalRefine:
         global_refine.global_bundle_adjust(pipe, m, window=8, overlap=4, iters=8)
         after = self._mean_err(pipe, pipe.t, gt_ref)
         assert after < before * 1.1 + 0.02, f"{before} -> {after}"
+
+
+def test_stitch_chain_exact_and_long():
+    """stitch_chain: exact recovery of a known chain from (averaged parallel)
+    edges, at a length (600 nodes) where the dense f32 GN pose-graph solve
+    produced NaN (the round-5 global-refine-at-598 failure)."""
+    import numpy as np
+
+    from pmv_tpu.parallel import pose_graph
+
+    rng = np.random.default_rng(0)
+    N = 600
+    # ground-truth chain
+    R = [np.eye(3)]
+    t = [np.zeros(3)]
+    for k in range(N - 1):
+        yaw = 0.004 + 0.001 * np.sin(k * 0.1)
+        c, s = np.cos(yaw), np.sin(yaw)
+        R_ij = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        t_ij = np.array([0.01, 0.0, -1.0])
+        R.append(R_ij @ R[-1])
+        t.append(R[-1 - 1 + 1 - 1] @ t_ij + t[-1]) if False else t.append(R[-2] @ t_ij + t[-1])
+    R, t = np.stack(R), np.stack(t)
+    # edges: 3 parallel noisy copies per pair (like 3 overlapping windows)
+    E_idx, E_R, E_t = [], [], []
+    for i in range(N - 1):
+        R_ij = R[i + 1] @ R[i].T
+        t_ij = R[i].T @ (t[i + 1] - t[i])
+        for _ in range(3):
+            aa = rng.normal(0, 1e-4, 3)
+            th = np.linalg.norm(aa)
+            k_ = aa / max(th, 1e-12)
+            Kx = np.array([[0, -k_[2], k_[1]], [k_[2], 0, -k_[0]], [-k_[1], k_[0], 0]])
+            dR = np.eye(3) + np.sin(th) * Kx + (1 - np.cos(th)) * Kx @ Kx
+            E_idx.append((i, i + 1))
+            E_R.append(dR @ R_ij)
+            E_t.append(t_ij + rng.normal(0, 1e-4, 3))
+    R_out, t_out = pose_graph.stitch_chain(
+        N, np.asarray(E_idx), np.stack(E_R), np.stack(E_t), R[0], t[0]
+    )
+    assert np.isfinite(R_out).all() and np.isfinite(t_out).all()
+    # averaged 1e-4 rad edge noise random-walks to ~1 m over the 600 m
+    # trajectory; a conditioning failure is 100s of meters or NaN
+    assert np.abs(t_out - t).max() < 2.0
+    assert np.abs(R_out - R).max() < 1e-2
