@@ -31,7 +31,8 @@ from pmv_tpu.parallel import dist_ba, pose_graph
 
 
 def build_window_problems(pipe, window: int = 8, overlap: int = 2,
-                          pin: int = 0):
+                          pin: int = 0, obs_gate_px: float = 10.0,
+                          min_obs_per_pose: int = 12):
     """Slice a finished pipeline run into overlapping BA windows.
 
     ``pin`` — number of leading poses pinned per window. The alternate-mode
@@ -39,6 +40,18 @@ def build_window_problems(pipe, window: int = 8, overlap: int = 2,
     each window's gauge during the pose step. Joint-Schur mode needs pin=2
     (6-DOF gauge + monocular scale), at the price of inheriting those poses'
     errors.
+
+    ``obs_gate_px`` — stale-binding gate. The refinement pairs historical
+    feature tables with the END-OF-RUN map, but the ring map recycles slots
+    (~30k inserts into 8192 slots over 598 frames), so an early frame's
+    landmark id can now hold a DIFFERENT 3D point. Measured at production
+    scale: poisoned windows start at ~60+ px mean residual (healthy: ~1.4)
+    and the solver drags their poses hundreds of meters toward the wrong
+    map (round-5 13 km blow-up). Observations whose initial residual vs
+    the window's own (VO-quality) poses exceeds the gate are dropped, and
+    poses left with fewer than ``min_obs_per_pose`` observations are
+    FROZEN at their VO values (their chain edges then reproduce VO
+    relative motion — graceful degradation instead of divergence).
 
     Returns (frame_ranges, tr (D, P, 6), lm_copies (D, L, 3), obs arrays,
     pose_free (D, P)) as numpy, one row per window.
@@ -75,6 +88,23 @@ def build_window_problems(pipe, window: int = 8, overlap: int = 2,
             lm = np.asarray(tbl.landmark)
             ok = valid & (lm >= 0)
             ok[ok] &= map_alive[lm[ok]]
+            if obs_gate_px > 0 and ok.any():
+                # Stale-binding gate (see docstring): residual of each
+                # observation against the frame's VO pose + final map.
+                pred = np.asarray(
+                    geo.project_points(
+                        jnp.asarray(map_xyz[lm[ok]], jnp.float32),
+                        jnp.asarray(pipe.R[f], jnp.float32),
+                        jnp.asarray(pipe.t[f], jnp.float32),
+                        jnp.asarray(np.asarray(pipe.K), jnp.float32),
+                    )
+                )
+                r = np.linalg.norm(pred - xy[ok], axis=1)
+                keep = r < obs_gate_px
+                idx = np.where(ok)[0][~keep]
+                ok[idx] = False
+            if ok.sum() < min_obs_per_pose:
+                free[i] = False  # under-constrained: hold the VO pose
             obs_uv.append(xy[ok])
             obs_pose.append(np.full(ok.sum(), i, np.int32))
             obs_lm.append(lm[ok].astype(np.int32))
