@@ -139,7 +139,32 @@ class TestEndToEnd:
         doubled Schur shapes, cadence 10//3*2=6 — must run e2e through the
         fused path with accuracy comparable to P=5 on the same sequence.
         Match: CeresBundleAdjustment.cpp:7-8 (window = min(bundle_size,
-        frame+1))."""
+        frame+1)).
+
+        Runs in a fresh interpreter: compiling the P=10 chunk program after
+        ~130 prior in-process XLA:CPU compilations segfaults the compiler
+        deterministically on this host (backend_compile_and_load, observed
+        twice at the same suite position), while the identical test alone
+        passes in ~1 min. Until the XLA bug is isolated, the child process
+        keeps the full lane green without dropping the coverage."""
+        import os
+        import subprocess
+        import sys
+
+        if os.environ.get("PMV_P10_CHILD") != "1":
+            here = os.path.abspath(__file__)
+            node = f"{here}::TestEndToEnd::test_bundle_size_10_window"
+            r = subprocess.run(
+                [sys.executable, "-m", "pytest", "-q", node],
+                env=dict(os.environ, PMV_P10_CHILD="1"),
+                cwd=os.path.dirname(os.path.dirname(here)),
+                capture_output=True, text=True, timeout=900,
+            )
+            assert r.returncode == 0, (
+                f"child P=10 e2e failed (rc={r.returncode}):\n"
+                f"{r.stdout[-3000:]}\n{r.stderr[-2000:]}"
+            )
+            return
         seq, paths = dataset
         cfg = make_cfg(paths, bundle_size=10, max_iterations=10)
         pipe = OdometryPipeline(cfg)
