@@ -235,6 +235,31 @@ def main() -> None:
     best = (fps, _record(fps, result, pipe, upload_mb_s, "short"))
     print(json.dumps(best[1]), flush=True)
 
+    # Tunnel-weather adaptation: overlapping device_put with a long-running
+    # dispatch can collapse the effective wire rate ~10x on the tunneled
+    # chip (measured 2.2 MB/s achieved vs a 31.5 MB/s probe -> 4.75 fps,
+    # where serialized uploads gave 21.4 fps the same minute). If the first
+    # run shows the collapse signature, retry it with PMV_SYNC_UPLOAD=1 and
+    # keep whichever mode is faster for the remaining phases.
+    det = best[1]["detail"]
+    if (
+        os.environ.get("PMV_SYNC_UPLOAD") != "1"
+        and det["wire_mb_s_achieved"] < det["tunnel_upload_probe_mb_s"] / 3
+        and remaining() > first_run_s * 1.5 + 20
+    ):
+        os.environ["PMV_SYNC_UPLOAD"] = "1"
+        pipe = make_pipeline(paths, FIRST_FRAMES)
+        run_t0 = time.time()
+        result = pipe.run()
+        sync_run_s = time.time() - run_t0
+        fps = result["frames"] / max(result["runtime"], 1e-9)
+        if fps > best[0]:
+            best = (fps, _record(fps, result, pipe, upload_mb_s, "short-sync"))
+            first_run_s = sync_run_s
+            print(json.dumps(best[1]), flush=True)
+        else:
+            del os.environ["PMV_SYNC_UPLOAD"]
+
     if TARGET_FRAMES <= FIRST_FRAMES:
         return
 
